@@ -1,0 +1,169 @@
+"""Minimal ID3v2.3/2.4 tag reading, editing, and writing.
+
+Replaces the reference's ``id3`` crate usage (SURVEY.md §2.2): tags read
+from DSF (metadata pointer) / DFF ('ID3 ' chunk) are copied into output
+files, with graceful degradation on truncated/broken tags (fixtures
+id3_test/1kHz_mono_brokenid3.dsf and
+id3_test/dff/1kHz_stereo_i_brokenid3.dff encode the required tolerance),
+and the album tag gets a " [<OUTPUT_RATE>]" suffix under -a
+(reference: src/main.rs:121-124).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+def _syncsafe_decode(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _syncsafe_encode(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+@dataclass
+class Id3Frame:
+    frame_id: str
+    data: bytes
+    flags: int = 0
+
+    def text(self) -> Optional[str]:
+        """Decode a text frame's payload, or None for non-text frames."""
+        if not self.frame_id.startswith("T") or not self.data:
+            return None
+        enc = self.data[0]
+        raw = self.data[1:]
+        try:
+            if enc == 0:
+                return raw.decode("latin-1").rstrip("\x00")
+            if enc == 1:
+                return raw.decode("utf-16").rstrip("\x00")
+            if enc == 2:
+                return raw.decode("utf-16-be").rstrip("\x00")
+            if enc == 3:
+                return raw.decode("utf-8").rstrip("\x00")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1", "replace").rstrip("\x00")
+        return None
+
+    @classmethod
+    def text_frame(cls, frame_id: str, value: str) -> "Id3Frame":
+        return cls(frame_id, b"\x03" + value.encode("utf-8"))
+
+
+@dataclass
+class Id3Tag:
+    version: tuple[int, int] = (3, 0)  # (major, revision); v2.<major>.<rev>
+    frames: list[Id3Frame] = field(default_factory=list)
+    truncated: bool = False  # tag was cut short in the source file
+
+    def get_text(self, frame_id: str) -> Optional[str]:
+        for fr in self.frames:
+            if fr.frame_id == frame_id:
+                return fr.text()
+        return None
+
+    def set_text(self, frame_id: str, value: str) -> None:
+        for i, fr in enumerate(self.frames):
+            if fr.frame_id == frame_id:
+                self.frames[i] = Id3Frame.text_frame(frame_id, value)
+                return
+        self.frames.append(Id3Frame.text_frame(frame_id, value))
+
+    def append_to_album(self, suffix: str) -> None:
+        """-a behavior: append " [<OUTPUT_RATE>]" to the album tag if present
+        (reference: src/main.rs:121-124)."""
+        album = self.get_text("TALB")
+        if album is not None:
+            self.set_text("TALB", album + suffix)
+
+    # -- serialization ------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        major = 4 if self.version[0] >= 4 else 3
+        body = b""
+        for fr in self.frames:
+            data = fr.data
+            if major == 4:
+                size = _syncsafe_encode(len(data))
+            else:
+                size = struct.pack(">I", len(data))
+            body += fr.frame_id.encode("latin-1")[:4].ljust(4, b"\x00")
+            body += size + struct.pack(">H", fr.flags) + data
+        header = b"ID3" + bytes([major, 0, 0]) + _syncsafe_encode(len(body))
+        return header + body
+
+
+def parse_id3(blob: bytes) -> Optional[Id3Tag]:
+    """Parse an ID3v2 tag, tolerating truncation: every fully-present frame
+    is kept, a frame cut mid-payload is dropped, and the tag is flagged
+    ``truncated`` (behavior required by the broken fixtures, SURVEY.md §4.2).
+    """
+    if len(blob) < 10 or blob[:3] != b"ID3":
+        return None
+    major, _rev = blob[3], blob[4]
+    flags = blob[5]
+    declared = _syncsafe_decode(blob[6:10])
+    tag = Id3Tag(version=(major, _rev))
+    body = blob[10:10 + declared]
+    if len(body) < declared:
+        tag.truncated = True
+    off = 0
+    # Skip extended header if present.
+    if flags & 0x40 and len(body) >= 4:
+        if major >= 4:
+            ext = _syncsafe_decode(body[0:4])
+        else:
+            (ext,) = struct.unpack(">I", body[0:4])
+            ext += 4
+        off = min(ext, len(body))
+    while off + 10 <= len(body):
+        fid = body[off:off + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        try:
+            fid_s = fid.decode("latin-1")
+        except UnicodeDecodeError:
+            break
+        if not all(("A" <= c <= "Z") or ("0" <= c <= "9") for c in fid_s):
+            break
+        if major >= 4:
+            size = _syncsafe_decode(body[off + 4:off + 8])
+        else:
+            (size,) = struct.unpack(">I", body[off + 4:off + 8])
+        (fflags,) = struct.unpack(">H", body[off + 8:off + 10])
+        data = body[off + 10:off + 10 + size]
+        if len(data) < size:
+            tag.truncated = True
+            break  # frame cut mid-payload: drop it, keep what we have
+        tag.frames.append(Id3Frame(fid_s, data, fflags))
+        off += 10 + size
+    return tag
+
+
+def id3_to_vorbis_comments(tag: Id3Tag) -> list[tuple[str, str]]:
+    """Map common ID3 text frames to FLAC vorbis-comment fields."""
+    mapping = {
+        "TIT2": "TITLE",
+        "TPE1": "ARTIST",
+        "TALB": "ALBUM",
+        "TDRC": "DATE",
+        "TYER": "DATE",
+        "TRCK": "TRACKNUMBER",
+        "TCON": "GENRE",
+        "TPE2": "ALBUMARTIST",
+        "TCOM": "COMPOSER",
+        "TPOS": "DISCNUMBER",
+    }
+    out = []
+    for fr in tag.frames:
+        name = mapping.get(fr.frame_id)
+        if name is None:
+            continue
+        val = fr.text()
+        if val:
+            out.append((name, val))
+    return out

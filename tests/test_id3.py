@@ -1,0 +1,56 @@
+"""ID3v2 parse/edit/write tests, including the broken-tag tolerance the
+reference fixtures encode (SURVEY.md §4.2)."""
+
+import pytest
+
+from dsd2dxd_tpu.formats.dff import open_dff
+from dsd2dxd_tpu.formats.dsf import open_dsf
+from dsd2dxd_tpu.formats.id3 import Id3Tag, id3_to_vorbis_comments, parse_id3
+
+
+def test_dff_fixture_tag_frames(reference_fixtures):
+    """Known ground truth (SURVEY.md §4.2): TIT2/TPE1/TALB contents."""
+    _, meta = open_dff(reference_fixtures / "id3_test/dff/1kHz_stereo_i.dff")
+    tag = parse_id3(meta.id3)
+    assert tag is not None
+    assert tag.get_text("TIT2") == "1kHz Test Tone DSD64"
+    assert tag.get_text("TPE1") == "clone206"
+    assert tag.get_text("TALB") == "clone206's Greatest Test Tone Hits"
+
+
+def test_truncated_dsf_tag_degrades_gracefully(reference_fixtures):
+    """id3_test/1kHz_mono_brokenid3.dsf: declared tag size overruns EOF,
+    TALB frame cut mid-payload -> parse what exists, flag truncation."""
+    src, meta = open_dsf(reference_fixtures / "id3_test/1kHz_mono_brokenid3.dsf")
+    tag = parse_id3(src.info.id3)
+    assert tag is not None
+    assert tag.truncated
+
+
+def test_truncated_dff_tag_degrades_gracefully(reference_fixtures):
+    _, meta = open_dff(
+        reference_fixtures / "id3_test/dff/1kHz_stereo_i_brokenid3.dff"
+    )
+    # Tag may be cut entirely or partially; parsing must not raise.
+    if meta.id3 is not None:
+        parse_id3(meta.id3)
+
+
+def test_roundtrip_and_album_append():
+    tag = Id3Tag()
+    tag.set_text("TALB", "Some Album")
+    tag.set_text("TIT2", "Tone")
+    tag.append_to_album(" [352800]")  # -a behavior (reference src/main.rs:121-124)
+    blob = tag.to_bytes()
+    back = parse_id3(blob)
+    assert back.get_text("TALB") == "Some Album [352800]"
+    assert back.get_text("TIT2") == "Tone"
+
+
+def test_vorbis_mapping():
+    tag = Id3Tag()
+    tag.set_text("TIT2", "Title")
+    tag.set_text("TPE1", "Artist")
+    tag.set_text("TALB", "Album")
+    comments = dict(id3_to_vorbis_comments(tag))
+    assert comments == {"TITLE": "Title", "ARTIST": "Artist", "ALBUM": "Album"}
