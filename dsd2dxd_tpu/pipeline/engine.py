@@ -1,16 +1,330 @@
 """Conversion engine — the TPU-native replacement for the reference's
-``rdsd2pcm::Rdsd2Pcm`` (reference API surface: src/main.rs:27-31, 325-345,
-361-393, 429; src/bin/dsd_levels/main.rs:214-223, 252).
+``rdsd2pcm::Rdsd2Pcm``.
 
-Placeholder for M1: filled in once the device decimation core lands.
+API mirrors the reference engine surface as reconstructed from its call
+sites (reference src/main.rs:27-31, 325-345, 361-393, 429;
+src/bin/dsd_levels/main.rs:214-223, 252): ``Converter.new`` /
+``Converter.from_container`` / ``Converter.new_level_check`` construct;
+``do_conversion`` / ``check_level`` run; ``file_name`` names.
+
+Execution model (contrast with the reference's scalar 4096-byte block
+loop, SURVEY.md §3.5): the host reader normalizes the stream to
+per-channel MSB-first byte planes; multi-megabyte tiles flow through one
+jitted XLA step (unpack -> FIR chain -> level -> dither -> quantize ->
+peak) with per-stage history carried on device; a one-deep dispatch
+pipeline overlaps host packing/writing of tile t with device compute of
+tile t+1. Compiled steps are cached per configuration and shared across
+files.
 """
 
 from __future__ import annotations
 
+import math
+import sys
+from functools import lru_cache
+from pathlib import Path
+from typing import BinaryIO, Callable, Optional
+
+import numpy as np
+
+from dsd2dxd_tpu.formats.discover import build_output_path
+from dsd2dxd_tpu.formats.dsd_types import (
+    ONE_HUNDRED_PERCENT,
+    DitherType,
+    DsdFileFormat,
+    DsdRate,
+    Endianness,
+    FilterType,
+    FmtType,
+    OutputType,
+    ProgressUpdate,
+    check_filter_choice,
+)
+from dsd2dxd_tpu.formats.source import DsdSource, open_raw_file, raw_source
+from dsd2dxd_tpu.utils.errors import CancelledError, ConfigError
+
+ProgressFn = Callable[[ProgressUpdate], None]
+CancelFn = Callable[[], bool]
+
+_DEFAULT_TILE_TARGET = 4 * 1024 * 1024  # DSD bytes per channel per tile
+
+
+def _tile_bytes_for(chain, target_bytes: int) -> int:
+    """Tile size (bytes/channel) aligned so every stage output is integral:
+    bits must be a multiple of lcm(8, prod(M_i)) (see filters/design.py
+    chain_input_multiple)."""
+    prod_m = 1
+    for s in chain:
+        prod_m *= s.M
+    unit_bits = math.lcm(8, prod_m)
+    target_bits = target_bytes * 8
+    n_units = max(1, -(-target_bits // unit_bits))
+    return n_units * unit_bits // 8
+
+
+@lru_cache(maxsize=32)
+def _cached_step(chain_key, cfg):
+    from dsd2dxd_tpu.filters.design import get_chain
+    from dsd2dxd_tpu.ops.resample import make_step
+
+    chain = get_chain(*chain_key)
+    return make_step(chain, cfg)
+
 
 class Converter:
-    """Engine handle mirroring ``Rdsd2Pcm`` (new / from_container /
-    new_level_check / do_conversion / check_level / file_name)."""
+    """One conversion (or level-check) job. Mirrors ``Rdsd2Pcm``."""
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("engine lands with milestone M1")
+    def __init__(self, *, source: DsdSource, input_path: Optional[Path],
+                 bit_depth: int, output: OutputType, level_db: float,
+                 output_rate: int, out_dir: Optional[Path],
+                 dither: DitherType, filt: FilterType, append_rate: bool,
+                 base_dir: Optional[Path], level_check_only: bool = False,
+                 tile_target_bytes: int = _DEFAULT_TILE_TARGET):
+        info = source.info
+        check_filter_choice(filt, info.rate, output_rate)
+        if bit_depth not in (16, 20, 24, 32):
+            raise ConfigError(f"Invalid bit depth: {bit_depth}")
+        if output is OutputType.FLAC and bit_depth == 32:
+            raise ConfigError("FLAC output supports integer depths only")
+        self.source = source
+        self.input_path = Path(input_path) if input_path else None
+        self.bit_depth = bit_depth
+        self.output = output
+        self.level_db = float(level_db)
+        self.output_rate = int(output_rate)
+        self.out_dir = Path(out_dir) if out_dir else None
+        self.dither = dither
+        self.filt = filt
+        self.append_rate = append_rate
+        self.base_dir = Path(base_dir) if base_dir else None
+        self.level_check_only = level_check_only
+        self.tile_target_bytes = tile_target_bytes
+        self._out_path = self._build_output_path()
+
+    # -- construction mirroring the reference API ---------------------------
+
+    @classmethod
+    def new(cls, bit_depth: int, output: OutputType, level_db: float,
+            output_rate: int, out_dir: Optional[Path], dither: DitherType,
+            fmt: FmtType, endian: Endianness, input_rate: DsdRate,
+            block_size: int, channels: int, filt: FilterType,
+            append_rate: bool, base_dir: Path,
+            input_path: Optional[Path]) -> "Converter":
+        """Raw/explicit-config constructor (stdin or raw .dsd file) —
+        parameter-for-parameter with the reference
+        (src/main.rs:325-343)."""
+        if input_path is None:
+            src = raw_source(sys.stdin.buffer, channels, input_rate, fmt,
+                             endian, block_size)
+        else:
+            src = open_raw_file(input_path, channels, input_rate, fmt,
+                                endian, block_size)
+        return cls(source=src, input_path=input_path, bit_depth=bit_depth,
+                   output=output, level_db=level_db, output_rate=output_rate,
+                   out_dir=out_dir, dither=dither, filt=filt,
+                   append_rate=append_rate, base_dir=base_dir)
+
+    @classmethod
+    def from_container(cls, bit_depth: int, output: OutputType,
+                       level_db: float, output_rate: int,
+                       out_dir: Optional[Path], dither: DitherType,
+                       filt: FilterType, append_rate: bool, base_dir: Path,
+                       input_path: Path) -> "Converter":
+        """Container path (.dsf/.dff): fmt/endian/rate/block-size/channels
+        come from the container, overriding any CLI flags (reference
+        src/main.rs:361-374; README.md:102-106)."""
+        src = open_container(input_path)
+        return cls(source=src, input_path=input_path, bit_depth=bit_depth,
+                   output=output, level_db=level_db, output_rate=output_rate,
+                   out_dir=out_dir, dither=dither, filt=filt,
+                   append_rate=append_rate, base_dir=base_dir)
+
+    @classmethod
+    def new_level_check(cls, output_rate: int, input_path: Optional[Path],
+                        fmt: FmtType, endian: Endianness, channels: int,
+                        block_size: int, input_rate: DsdRate) -> "Converter":
+        """Peak-analysis constructor (reference
+        src/bin/dsd_levels/main.rs:214-222). Container inputs take their
+        parameters from metadata, raw inputs from the arguments."""
+        if input_path is not None and DsdFileFormat.from_path(input_path).is_container():
+            src = open_container(input_path)
+        elif input_path is None:
+            src = raw_source(sys.stdin.buffer, channels, input_rate, fmt,
+                             endian, block_size)
+        else:
+            src = open_raw_file(input_path, channels, input_rate, fmt,
+                                endian, block_size)
+        return cls(source=src, input_path=input_path, bit_depth=32,
+                   output=OutputType.STDOUT, level_db=0.0,
+                   output_rate=output_rate, out_dir=None,
+                   dither=DitherType.NONE, filt=FilterType.EQUIRIPPLE,
+                   append_rate=False, base_dir=None, level_check_only=True)
+
+    # -- naming -------------------------------------------------------------
+
+    def file_name(self) -> str:
+        """Display name (reference src/main.rs:398)."""
+        return self.input_path.name if self.input_path else "stdin"
+
+    def output_path(self) -> Optional[Path]:
+        return self._out_path
+
+    def _build_output_path(self) -> Optional[Path]:
+        if self.output is OutputType.STDOUT or self.level_check_only:
+            return None
+        return build_output_path(
+            self.input_path,
+            self.base_dir if self.base_dir is not None else Path.cwd(),
+            self.out_dir, self.output, self.output_rate, self.append_rate,
+        )
+
+    # -- the conversion loop ------------------------------------------------
+
+    def _make_writer(self, f: BinaryIO, id3: Optional[bytes]):
+        from dsd2dxd_tpu.containers.aiff import AiffWriter
+        from dsd2dxd_tpu.containers.wav import WavWriter
+
+        ch = self.source.info.channels
+        if self.output is OutputType.WAV:
+            return WavWriter(f, ch, self.output_rate, self.bit_depth, id3=id3)
+        if self.output is OutputType.AIFF:
+            return AiffWriter(f, ch, self.output_rate, self.bit_depth, id3=id3)
+        if self.output is OutputType.AIFC:
+            return AiffWriter(f, ch, self.output_rate, self.bit_depth,
+                              aifc=True, id3=id3)
+        if self.output is OutputType.FLAC:
+            from dsd2dxd_tpu.containers.flac import FlacWriter
+
+            return FlacWriter(f, ch, self.output_rate, self.bit_depth, id3=id3)
+        raise ConfigError(f"No writer for {self.output}")
+
+    def _run(self, cancel: Optional[CancelFn], progress: Optional[ProgressFn],
+             sink: Optional[Callable[[np.ndarray], None]]) -> float:
+        """Shared tile loop. Returns the stream peak (linear, post-level).
+
+        ``sink`` receives (frames, channels) int32/float32 tiles; None for
+        level-check mode.
+        """
+        from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
+        from dsd2dxd_tpu.ops.resample import StepConfig, init_hists
+        import jax
+
+        info = self.source.info
+        chain_key = (self.filt, info.rate, self.output_rate)
+        chain = get_chain(*chain_key)
+        ratio = chain_ratio(chain)
+        tile_bytes = _tile_bytes_for(chain, self.tile_target_bytes)
+        cfg = StepConfig(
+            channels=info.channels,
+            tile_bytes=tile_bytes,
+            bit_depth=self.bit_depth if not self.level_check_only else 32,
+            dither=self.dither if not self.level_check_only else DitherType.NONE,
+            level_db=self.level_db,
+        )
+        step = _cached_step(chain_key, cfg)
+        hists = init_hists(chain, info.channels)
+        key = jax.random.PRNGKey(0x5D5D)
+
+        total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
+        consumed = 0
+        valid_bits = 0
+        emitted = 0
+        peak = 0.0
+        pending = None  # (device_out, n_valid) one-deep pipeline
+        tile_idx = 0
+
+        while True:
+            if cancel is not None and cancel():
+                raise CancelledError("Conversion canceled")
+            planes = self.source.read(tile_bytes)
+            if planes is None:
+                break
+            got = planes.shape[1]
+            consumed += got
+            valid_bits += got * 8
+            if got < tile_bytes:
+                pad = np.full((info.channels, tile_bytes - got), 0x69,
+                              dtype=np.uint8)  # DSD idle pattern, not DC
+                planes = np.concatenate([planes, pad], axis=1)
+            n_total = int(valid_bits * ratio)
+            n_valid = n_total - emitted
+            emitted = n_total
+            out, tile_peak, hists = step(
+                planes, hists, jax.random.fold_in(key, tile_idx))
+            tile_idx += 1
+            if pending is not None:
+                peak = self._drain(pending, sink, peak)
+            pending = (out, tile_peak, n_valid)
+            if progress is not None and total_bytes:
+                pct = min(100.0 * consumed / total_bytes, ONE_HUNDRED_PERCENT)
+                progress(ProgressUpdate(percent=pct))
+        if pending is not None:
+            peak = self._drain(pending, sink, peak)
+        if progress is not None:
+            progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
+        return peak
+
+    @staticmethod
+    def _drain(pending, sink, peak: float) -> float:
+        out, tile_peak, n_valid = pending
+        tile_peak = float(tile_peak)
+        # Peak over padded tail is harmless: padding is the DSD idle
+        # pattern (silence), which cannot raise the max.
+        peak = max(peak, tile_peak)
+        if sink is not None and n_valid > 0:
+            host = np.asarray(out[:n_valid])
+            sink(host)
+        return peak
+
+    def do_conversion(self, cancel: Optional[CancelFn] = None,
+                      progress: Optional[ProgressFn] = None) -> None:
+        """Run the conversion (reference src/main.rs:345, 429)."""
+        from dsd2dxd_tpu.containers.pack import pack
+
+        id3 = self.source.info.id3
+        if id3 is not None and self.append_rate:
+            # -a also appends " [<rate>]" to the album tag
+            # (reference src/main.rs:121-124).
+            from dsd2dxd_tpu.formats.id3 import parse_id3
+
+            tag = parse_id3(id3)
+            if tag is not None:
+                tag.append_to_album(f" [{self.output_rate}]")
+                id3 = tag.to_bytes()
+        if self._out_path is None:
+            out = sys.stdout.buffer
+
+            def sink(tile: np.ndarray) -> None:
+                out.write(pack(tile, self.bit_depth, big_endian=False))
+
+            self._run(cancel, progress, sink)
+            out.flush()
+            return
+        self._out_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self._out_path, "wb") as f:
+            writer = self._make_writer(f, id3)
+            self._run(cancel, progress, writer.write)
+            writer.finalize()
+
+    def check_level(self, cancel: Optional[CancelFn] = None,
+                    progress: Optional[ProgressFn] = None) -> float:
+        """Peak level in dBFS (reference dsd_levels/main.rs:252, 284)."""
+        peak = self._run(cancel, progress, None)
+        if peak <= 0.0:
+            return float("-inf")
+        return 20.0 * math.log10(peak)
+
+
+def open_container(path: Path) -> DsdSource:
+    """Open a .dsf/.dff container as a normalized DsdSource."""
+    from dsd2dxd_tpu.formats.dff import open_dff
+    from dsd2dxd_tpu.formats.dsf import open_dsf
+
+    fmt = DsdFileFormat.from_path(path)
+    if fmt is DsdFileFormat.DSF:
+        src, _meta = open_dsf(path)
+        return src
+    if fmt is DsdFileFormat.DFF:
+        src, _meta = open_dff(path)
+        return src
+    raise ConfigError(f"Not a DSD container: {path}")

@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU-tunnel plugin force-overrides JAX_PLATFORMS with
+# "axon,cpu"; pin the config explicitly so tests never run through the
+# tunnel (slow first-compile, single chip).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 from pathlib import Path
 

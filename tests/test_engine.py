@@ -1,0 +1,160 @@
+"""Engine (Converter) tests: container->WAV end-to-end, raw input path,
+level check, output-path building (reference behaviors: src/main.rs
+325-393, 429; dsd_levels/main.rs:214-252)."""
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dsd2dxd_tpu.formats.dsd_types import (
+    DitherType,
+    DsdRate,
+    Endianness,
+    FilterType,
+    FmtType,
+    OutputType,
+)
+from dsd2dxd_tpu.pipeline.engine import Converter
+
+
+def _read_wav(path):
+    raw = Path(path).read_bytes()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    return fmt, data
+
+
+def _decode_s24le(data, channels):
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    vals = (b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16))
+    vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    return vals.reshape(-1, channels)
+
+
+@pytest.fixture(scope="module")
+def tone_dsf(tmp_path_factory):
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    path = tmp_path_factory.mktemp("engine") / "tone.dsf"
+    planes = synth_tone_dsd(1000.0, 0.5, 2_822_400, amplitude=0.5, channels=2)
+    write_dsf(path, planes, 2_822_400, lsb_first=True)
+    return path
+
+
+def test_container_to_wav(tone_dsf, tmp_path):
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0, output_rate=352800,
+        out_dir=tmp_path, dither=DitherType.TPDF, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=tone_dsf.parent, input_path=tone_dsf)
+    updates = []
+    conv.do_conversion(progress=updates.append)
+    out = tmp_path / "tone.wav"
+    assert conv.output_path() == out
+    assert out.exists()
+    fmt, data = _read_wav(out)
+    tag, ch, rate, _, _, bits = fmt
+    assert (tag, ch, rate, bits) == (1, 2, 352800, 24)
+    pcm = _decode_s24le(data, 2).astype(np.float64) / 2 ** 23
+    # 0.5 s in -> 0.5 s out at 352.8k
+    assert abs(len(pcm) - 176400) < 2
+    x = pcm[20000:170000, 0]
+    n = len(x)
+    X = np.fft.rfft(x * np.hanning(n))
+    freqs = np.fft.rfftfreq(n, 1 / 352800)
+    assert abs(freqs[np.argmax(np.abs(X))] - 1000.0) < 5.0
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.01
+    assert updates and updates[-1].percent == 100.0
+
+
+def test_progress_monotonic(tone_dsf, tmp_path):
+    conv = Converter.from_container(
+        bit_depth=16, output=OutputType.WAV, level_db=0.0, output_rate=88200,
+        out_dir=tmp_path, dither=DitherType.TPDF, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=tone_dsf.parent, input_path=tone_dsf)
+    pcts = []
+    conv.do_conversion(progress=lambda u: pcts.append(u.percent))
+    assert pcts == sorted(pcts)
+    assert pcts[-1] == 100.0
+
+
+def test_append_rate_naming(tone_dsf, tmp_path):
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0, output_rate=88200,
+        out_dir=tmp_path, dither=DitherType.NONE, filt=FilterType.EQUIRIPPLE,
+        append_rate=True, base_dir=tone_dsf.parent, input_path=tone_dsf)
+    assert conv.output_path().name == "tone_88_2K.wav"
+
+
+def test_check_level(tone_dsf):
+    conv = Converter.new_level_check(
+        output_rate=352800, input_path=tone_dsf, fmt=FmtType.PLANAR,
+        endian=Endianness.LSB_FIRST, channels=2, block_size=4096,
+        input_rate=DsdRate.DSD64)
+    db = conv.check_level()
+    # 0.5 amplitude tone plus residual ultrasonic DSM noise: close to -6 dBFS
+    assert -6.5 < db < -4.0
+
+
+def test_raw_file_roundtrip(tone_dsf, tmp_path):
+    """A raw .dsd bitstream (planar, LSB-first — matching the 1kHz_mono_p
+    fixture layout, SURVEY.md §4.2) through Converter.new."""
+    from dsd2dxd_tpu.formats.dsf import open_dsf
+
+    src, meta = open_dsf(tone_dsf)
+    raw_path = tmp_path / "tone.dsd"
+    # Reconstruct the raw planar payload (LSB-first bytes as stored).
+    from dsd2dxd_tpu.formats.source import reverse_bits
+
+    blocks = []
+    while True:
+        planes = src.read(4096)
+        if planes is None:
+            break
+        blocks.append(reverse_bits(planes))  # back to LSB-first on disk
+    full = np.concatenate(blocks, axis=1)
+    with open(raw_path, "wb") as f:
+        pad = (-full.shape[1]) % 4096
+        padded = np.pad(full, ((0, 0), (0, pad)), constant_values=0x55)
+        for off in range(0, padded.shape[1], 4096):
+            f.write(padded[:, off:off + 4096].tobytes())
+
+    conv = Converter.new(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0, output_rate=352800,
+        out_dir=tmp_path, dither=DitherType.NONE, filt=FilterType.EQUIRIPPLE,
+        fmt=FmtType.PLANAR, endian=Endianness.LSB_FIRST,
+        input_rate=DsdRate.DSD64, block_size=4096, channels=2,
+        append_rate=False, base_dir=tmp_path, input_path=raw_path)
+    conv.do_conversion()
+    fmt, data = _read_wav(tmp_path / "tone.wav")
+    pcm = _decode_s24le(data, 2).astype(np.float64) / 2 ** 23
+    x = pcm[20000:170000, 0]
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.01
+
+
+def test_cancel(tone_dsf, tmp_path):
+    from dsd2dxd_tpu.utils.errors import CancelledError
+
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0, output_rate=352800,
+        out_dir=tmp_path, dither=DitherType.NONE, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=tone_dsf.parent, input_path=tone_dsf)
+    with pytest.raises(CancelledError):
+        conv.do_conversion(cancel=lambda: True)
