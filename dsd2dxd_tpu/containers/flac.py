@@ -1,0 +1,96 @@
+"""Streaming FLAC writer (OutputType::Flac — reference src/main.rs:207-214).
+
+The encode hot path lives in the native C++ extension
+(native/src/flac.cc — fixed + LPC prediction, Rice coding, MD5); this
+module handles container assembly: the fLaC marker, STREAMINFO (patched
+at finalize with total samples / frame-size stats / MD5), and a
+VORBIS_COMMENT metadata block mapped from the source's ID3v2 tag
+(reference copies tags "where possible", README.md:7).
+
+Bit depths: 16/20/24 integer. FLAC has no float concept; the engine
+rejects 32-bit float + FLAC up front (reference does the same —
+SURVEY.md §2.2 FLAC row).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from dsd2dxd_tpu.utils.errors import ConfigError
+
+
+def _vorbis_comment_block(comments: list[tuple[str, str]], is_last: bool) -> bytes:
+    vendor = b"dsd2dxd_tpu"
+    body = struct.pack("<I", len(vendor)) + vendor
+    body += struct.pack("<I", len(comments))
+    for key, value in comments:
+        entry = f"{key}={value}".encode("utf-8")
+        body += struct.pack("<I", len(entry)) + entry
+    header = bytes([(0x80 if is_last else 0) | 4]) + len(body).to_bytes(3, "big")
+    return header + body
+
+
+class FlacWriter:
+    def __init__(self, f: BinaryIO, channels: int, sample_rate: int,
+                 bit_depth: int, id3: Optional[bytes] = None,
+                 block_size: int = 4096):
+        if bit_depth not in (16, 20, 24):
+            raise ConfigError(
+                f"FLAC output supports 16/20/24-bit, not {bit_depth}")
+        from dsd2dxd_tpu.native import lib as native
+
+        if native is None:
+            raise ConfigError(
+                "FLAC output needs the native extension (g++ build failed)")
+        self._native = native
+        self.f = f
+        self.channels = channels
+        self.sample_rate = sample_rate
+        self.bit_depth = bit_depth
+        self._comments = self._map_id3(id3)
+        self._enc = native.flac_new(sample_rate, channels, bit_depth,
+                                    block_size)
+        self._write_header()
+
+    @staticmethod
+    def _map_id3(id3: Optional[bytes]) -> list[tuple[str, str]]:
+        if not id3:
+            return []
+        from dsd2dxd_tpu.formats.id3 import id3_to_vorbis_comments, parse_id3
+
+        tag = parse_id3(id3)
+        return id3_to_vorbis_comments(tag) if tag else []
+
+    def _write_header(self) -> None:
+        has_comments = bool(self._comments)
+        header = self._native.flac_header(self._enc, is_last=not has_comments)
+        self.f.write(header)
+        if has_comments:
+            self.f.write(_vorbis_comment_block(self._comments, is_last=True))
+        self._header_len = 42
+
+    def write(self, samples: np.ndarray) -> None:
+        """samples: (frames, channels) int32, already quantized. 20-bit
+        samples are the native 20-bit values (NOT shifted into 24-bit
+        containers — FLAC carries bits-per-sample natively)."""
+        self._native.flac_feed(self._enc, samples)
+        data = self._native.flac_drain(self._enc)
+        if data:
+            self.f.write(data)
+
+    def finalize(self) -> None:
+        self._native.flac_finish(self._enc)
+        data = self._native.flac_drain(self._enc)
+        if data:
+            self.f.write(data)
+        if self.f.seekable():
+            self.f.seek(0)
+            header = self._native.flac_header(
+                self._enc, is_last=not bool(self._comments))
+            self.f.write(header)
+        self.f.flush()
+        self._native.flac_free(self._enc)
+        self._enc = None

@@ -51,16 +51,91 @@ class NativeLib:
     def _setup(self) -> None:
         d = self._dll
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
         d.dsdkit_dsm2_bits.argtypes = [f64p, u8p, ctypes.c_size_t]
         d.dsdkit_dsm2_bits.restype = None
+
+        d.dsdkit_flac_new.argtypes = [ctypes.c_uint32] * 4
+        d.dsdkit_flac_new.restype = ctypes.c_void_p
+        d.dsdkit_flac_feed.argtypes = [ctypes.c_void_p, i32p, ctypes.c_size_t]
+        d.dsdkit_flac_feed.restype = None
+        d.dsdkit_flac_finish.argtypes = [ctypes.c_void_p]
+        d.dsdkit_flac_finish.restype = None
+        d.dsdkit_flac_pending.argtypes = [ctypes.c_void_p]
+        d.dsdkit_flac_pending.restype = ctypes.c_size_t
+        d.dsdkit_flac_drain.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+        d.dsdkit_flac_drain.restype = ctypes.c_size_t
+        d.dsdkit_flac_header.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+        d.dsdkit_flac_header.restype = None
+        d.dsdkit_flac_free.argtypes = [ctypes.c_void_p]
+        d.dsdkit_flac_free.restype = None
+
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        d.dsdkit_njad_new.argtypes = [ctypes.c_uint32]
+        d.dsdkit_njad_new.restype = ctypes.c_void_p
+        d.dsdkit_njad_quantize.argtypes = [
+            ctypes.c_void_p, f32p, i32p, ctypes.c_size_t,
+            ctypes.c_uint32, ctypes.c_int]
+        d.dsdkit_njad_quantize.restype = None
+        d.dsdkit_njad_free.argtypes = [ctypes.c_void_p]
+        d.dsdkit_njad_free.restype = None
 
     def dsm2_bits(self, x: np.ndarray) -> np.ndarray:
         x = np.ascontiguousarray(x, dtype=np.float64)
         out = np.empty(x.shape[0], dtype=np.uint8)
         self._dll.dsdkit_dsm2_bits(x, out, x.shape[0])
         return out
+
+    # -- FLAC encoder handle -------------------------------------------------
+
+    def flac_new(self, rate: int, channels: int, bps: int,
+                 block_size: int = 4096) -> int:
+        return self._dll.dsdkit_flac_new(rate, channels, bps, block_size)
+
+    def flac_feed(self, enc: int, samples: np.ndarray) -> None:
+        """samples: (frames, channels) int32, interleaved in memory."""
+        samples = np.ascontiguousarray(samples, dtype=np.int32)
+        self._dll.dsdkit_flac_feed(enc, samples.reshape(-1),
+                                   samples.shape[0])
+
+    def flac_finish(self, enc: int) -> None:
+        self._dll.dsdkit_flac_finish(enc)
+
+    def flac_drain(self, enc: int) -> bytes:
+        n = self._dll.dsdkit_flac_pending(enc)
+        if n == 0:
+            return b""
+        out = np.empty(n, dtype=np.uint8)
+        got = self._dll.dsdkit_flac_drain(enc, out, n)
+        return out[:got].tobytes()
+
+    def flac_header(self, enc: int, is_last: bool) -> bytes:
+        out = np.empty(42, dtype=np.uint8)
+        self._dll.dsdkit_flac_header(enc, out, 1 if is_last else 0)
+        return out.tobytes()
+
+    def flac_free(self, enc: int) -> None:
+        self._dll.dsdkit_flac_free(enc)
+
+    # -- NJAD requantizer ----------------------------------------------------
+
+    def njad_new(self, channels: int) -> int:
+        return self._dll.dsdkit_njad_new(channels)
+
+    def njad_quantize(self, state: int, samples: np.ndarray,
+                      bits: int) -> np.ndarray:
+        """samples: (frames, channels) float32 full-scale ±1 -> int32."""
+        samples = np.ascontiguousarray(samples, dtype=np.float32)
+        frames, channels = samples.shape
+        out = np.empty((frames, channels), dtype=np.int32)
+        self._dll.dsdkit_njad_quantize(state, samples, out, frames,
+                                       channels, bits)
+        return out
+
+    def njad_free(self, state: int) -> None:
+        self._dll.dsdkit_njad_free(state)
 
 
 def load() -> NativeLib | None:

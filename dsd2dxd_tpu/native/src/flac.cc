@@ -1,0 +1,631 @@
+// flac.cc — native FLAC encoder for dsd2dxd_tpu.
+//
+// Replaces the reference's `flac-codec` crate (OutputType::Flac,
+// reference src/main.rs:207-214; SURVEY.md §2.3 item 2: the largest
+// native host component). Streaming encoder with:
+//   - fixed predictors (orders 0-4) and LPC (Levinson-Durbin, up to
+//     order 8, Tukey window) with cost-based selection,
+//   - per-block stereo decorrelation choice (LR / LS / RS / MS),
+//   - Rice coding with partition-order search and escape codes,
+//   - CONSTANT / VERBATIM subframes,
+//   - streaming MD5 of the raw samples for STREAMINFO,
+//   - frame CRC-8 / CRC-16.
+// C ABI only (consumed via ctypes — ../loader.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#define DSDKIT_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit writer
+// ---------------------------------------------------------------------------
+
+class BitWriter {
+ public:
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  void put(uint32_t value, int bits) {
+    acc = (acc << bits) | (uint64_t(value) & ((bits == 32) ? 0xFFFFFFFFull
+                                                           : ((1ull << bits) - 1)));
+    nbits += bits;
+    while (nbits >= 8) {
+      nbits -= 8;
+      buf.push_back(uint8_t(acc >> nbits));
+    }
+  }
+
+  void put_signed(int32_t value, int bits) { put(uint32_t(value), bits); }
+
+  void put_unary(uint32_t q) {
+    while (q >= 32) { put(0, 32); q -= 32; }
+    // q zero bits then a one
+    put(1, int(q) + 1);
+  }
+
+  void align_byte() {
+    if (nbits) put(0, 8 - nbits);
+  }
+
+  size_t bit_length() const { return buf.size() * 8 + nbits; }
+};
+
+// ---------------------------------------------------------------------------
+// CRCs + MD5
+// ---------------------------------------------------------------------------
+
+uint8_t crc8(const uint8_t* d, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int b = 0; b < 8; ++b) c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+  }
+  return c;
+}
+
+uint16_t crc16(const uint8_t* d, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= uint16_t(d[i]) << 8;
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
+  }
+  return c;
+}
+
+struct MD5 {
+  uint32_t a = 0x67452301, b = 0xefcdab89, c = 0x98badcfe, d = 0x10325476;
+  uint64_t total = 0;
+  uint8_t chunk[64];
+  size_t fill = 0;
+
+  static uint32_t rotl(uint32_t x, int s) { return (x << s) | (x >> (32 - s)); }
+
+  void process(const uint8_t* p) {
+    static const uint32_t K[64] = {
+        0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee, 0xf57c0faf, 0x4787c62a,
+        0xa8304613, 0xfd469501, 0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+        0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821, 0xf61e2562, 0xc040b340,
+        0x265e5a51, 0xe9b6c7aa, 0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+        0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed, 0xa9e3e905, 0xfcefa3f8,
+        0x676f02d9, 0x8d2a4c8a, 0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+        0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70, 0x289b7ec6, 0xeaa127fa,
+        0xd4ef3085, 0x04881d05, 0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+        0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039, 0x655b59c3, 0x8f0ccc92,
+        0xffeff47d, 0x85845dd1, 0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+        0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
+    static const int S[64] = {7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+                              7, 12, 17, 22, 5, 9,  14, 20, 5, 9,  14, 20,
+                              5, 9,  14, 20, 5, 9,  14, 20, 4, 11, 16, 23,
+                              4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+                              6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
+                              6, 10, 15, 21};
+    uint32_t m[16];
+    for (int i = 0; i < 16; ++i)
+      m[i] = uint32_t(p[i * 4]) | (uint32_t(p[i * 4 + 1]) << 8) |
+             (uint32_t(p[i * 4 + 2]) << 16) | (uint32_t(p[i * 4 + 3]) << 24);
+    uint32_t A = a, B = b, C = c, D = d;
+    for (int i = 0; i < 64; ++i) {
+      uint32_t f;
+      int g;
+      if (i < 16) { f = (B & C) | (~B & D); g = i; }
+      else if (i < 32) { f = (D & B) | (~D & C); g = (5 * i + 1) & 15; }
+      else if (i < 48) { f = B ^ C ^ D; g = (3 * i + 5) & 15; }
+      else { f = C ^ (B | ~D); g = (7 * i) & 15; }
+      uint32_t tmp = D;
+      D = C;
+      C = B;
+      B = B + rotl(A + f + K[i] + m[g], S[i]);
+      A = tmp;
+    }
+    a += A; b += B; c += C; d += D;
+  }
+
+  void update(const uint8_t* p, size_t n) {
+    total += n;
+    while (n) {
+      size_t take = std::min(n, size_t(64) - fill);
+      memcpy(chunk + fill, p, take);
+      fill += take;
+      p += take;
+      n -= take;
+      if (fill == 64) { process(chunk); fill = 0; }
+    }
+  }
+
+  void finish(uint8_t out[16]) {
+    uint64_t bits = total * 8;
+    uint8_t pad = 0x80;
+    update(&pad, 1);
+    uint8_t z = 0;
+    while (fill != 56) update(&z, 1);
+    uint8_t len[8];
+    for (int i = 0; i < 8; ++i) len[i] = uint8_t(bits >> (8 * i));
+    update(len, 8);
+    uint32_t h[4] = {a, b, c, d};
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) out[i * 4 + j] = uint8_t(h[i] >> (8 * j));
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Rice coding
+// ---------------------------------------------------------------------------
+
+inline uint32_t zigzag(int32_t v) {
+  return (uint32_t(v) << 1) ^ uint32_t(v >> 31);
+}
+
+uint64_t rice_cost(const int32_t* res, size_t n, int k) {
+  uint64_t bits = 0;
+  for (size_t i = 0; i < n; ++i) bits += (zigzag(res[i]) >> k);
+  return bits + n * (uint64_t(k) + 1);
+}
+
+int best_rice_param(const int32_t* res, size_t n) {
+  if (n == 0) return 0;
+  uint64_t sum = 0;
+  for (size_t i = 0; i < n; ++i) sum += zigzag(res[i]);
+  // start near log2(mean), then refine locally
+  int k = 0;
+  uint64_t mean = sum / n;
+  while ((1ull << (k + 1)) < mean + 1 && k < 30) ++k;
+  uint64_t best = rice_cost(res, n, k);
+  while (k > 0 && rice_cost(res, n, k - 1) < best) { --k; best = rice_cost(res, n, k); }
+  while (k < 30 && rice_cost(res, n, k + 1) < best) { ++k; best = rice_cost(res, n, k); }
+  return k;
+}
+
+void write_rice(BitWriter& bw, const int32_t* res, size_t n, int k) {
+  for (size_t i = 0; i < n; ++i) {
+    uint32_t u = zigzag(res[i]);
+    bw.put_unary(u >> k);
+    if (k) bw.put(u & ((1u << k) - 1), k);
+  }
+}
+
+// Residual block: partitioned Rice, method 0 (4-bit params) or 1 (5-bit).
+void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
+                    int pred_order) {
+  // choose partition order: block_size must be divisible by 2^po and
+  // partitions after the first must have > pred_order samples.
+  int max_po = 0;
+  while (max_po < 6 && (block_size % (1u << (max_po + 1))) == 0 &&
+         (block_size >> (max_po + 1)) > uint32_t(pred_order))
+    ++max_po;
+  // evaluate cost for each partition order, pick the cheapest
+  int best_po = 0;
+  uint64_t best_cost = ~0ull;
+  std::vector<int> best_params;
+  for (int po = 0; po <= max_po; ++po) {
+    uint32_t parts = 1u << po;
+    uint64_t cost = 0;
+    std::vector<int> params(parts);
+    size_t idx = 0;
+    bool ok = true;
+    for (uint32_t p = 0; p < parts; ++p) {
+      size_t cnt = block_size / parts - (p == 0 ? pred_order : 0);
+      if (int64_t(cnt) <= 0 || block_size / parts <= uint32_t(pred_order) && p == 0) { ok = false; break; }
+      int k = best_rice_param(res + idx, cnt);
+      params[p] = k;
+      cost += rice_cost(res + idx, cnt, k) + 4;
+      idx += cnt;
+    }
+    if (ok && cost < best_cost) { best_cost = cost; best_po = po; best_params = params; }
+  }
+  bool five_bit = false;
+  for (int k : best_params) five_bit |= (k > 14);
+  bw.put(five_bit ? 1 : 0, 2);  // residual coding method
+  bw.put(uint32_t(best_po), 4);
+  uint32_t parts = 1u << best_po;
+  size_t idx = 0;
+  int pbits = five_bit ? 5 : 4;
+  for (uint32_t p = 0; p < parts; ++p) {
+    size_t cnt = block_size / parts - (p == 0 ? pred_order : 0);
+    bw.put(uint32_t(best_params[p]), pbits);
+    write_rice(bw, res + idx, cnt, best_params[p]);
+    idx += cnt;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Subframe encoders
+// ---------------------------------------------------------------------------
+
+uint64_t abs_residual_sum(const std::vector<int32_t>& r, size_t from) {
+  uint64_t s = 0;
+  for (size_t i = from; i < r.size(); ++i)
+    s += uint64_t(r[i] < 0 ? -int64_t(r[i]) : int64_t(r[i]));
+  return s;
+}
+
+// Fixed-predictor residuals, order 0..4 (in place over a copy).
+void fixed_residual(const int32_t* x, size_t n, int order, int32_t* out) {
+  switch (order) {
+    case 0:
+      memcpy(out, x, n * sizeof(int32_t));
+      break;
+    case 1:
+      for (size_t i = 1; i < n; ++i) out[i] = x[i] - x[i - 1];
+      break;
+    case 2:
+      for (size_t i = 2; i < n; ++i) out[i] = x[i] - 2 * x[i - 1] + x[i - 2];
+      break;
+    case 3:
+      for (size_t i = 3; i < n; ++i)
+        out[i] = x[i] - 3 * x[i - 1] + 3 * x[i - 2] - x[i - 3];
+      break;
+    case 4:
+      for (size_t i = 4; i < n; ++i)
+        out[i] = x[i] - 4 * x[i - 1] + 6 * x[i - 2] - 4 * x[i - 3] + x[i - 4];
+      break;
+  }
+}
+
+struct LpcModel {
+  int order = 0;
+  int shift = 0;
+  int precision = 15;
+  int32_t qcoef[32];
+  bool ok = false;
+};
+
+LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order) {
+  LpcModel m;
+  if (n < size_t(max_order) * 2) return m;
+  // Tukey(0.5) window + autocorrelation
+  std::vector<double> w(n);
+  size_t taper = n / 4;
+  for (size_t i = 0; i < n; ++i) {
+    double win = 1.0;
+    if (i < taper)
+      win = 0.5 * (1.0 + cos(3.14159265358979323846 * (double(i) / taper - 1.0)));
+    else if (i >= n - taper)
+      win = 0.5 * (1.0 + cos(3.14159265358979323846 *
+                             (double(i - (n - taper)) / taper)));
+    w[i] = double(x[i]) * win;
+  }
+  double ac[33] = {0};
+  for (int lag = 0; lag <= max_order; ++lag) {
+    double s = 0;
+    for (size_t i = lag; i < n; ++i) s += w[i] * w[i - lag];
+    ac[lag] = s;
+  }
+  if (ac[0] <= 0) return m;
+  // Levinson-Durbin
+  double err = ac[0];
+  double lpc[32] = {0};
+  for (int i = 0; i < max_order; ++i) {
+    double r = -ac[i + 1];
+    for (int j = 0; j < i; ++j) r -= lpc[j] * ac[i - j];
+    r /= err;
+    lpc[i] = r;
+    for (int j = 0; j < i / 2; ++j) {
+      double tmp = lpc[j];
+      lpc[j] += r * lpc[i - 1 - j];
+      lpc[i - 1 - j] += r * tmp;
+    }
+    if (i & 1) lpc[i / 2] += lpc[i / 2] * r;
+    err *= 1.0 - r * r;
+    if (err <= 0) return m;
+  }
+  // quantize coefficients (precision 15)
+  double cmax = 0;
+  for (int i = 0; i < max_order; ++i) cmax = std::max(cmax, std::abs(lpc[i]));
+  if (cmax <= 0) return m;
+  int headroom = 0;
+  while ((1 << headroom) <= cmax && headroom < 30) ++headroom;
+  int shift = m.precision - 1 - headroom;
+  if (shift > 15) shift = 15;
+  if (shift <= 0) return m;
+  double e = 0;
+  for (int i = 0; i < max_order; ++i) {
+    e += lpc[i] * double(1 << shift);
+    int32_t q = int32_t(lround(e));
+    int32_t lim = (1 << (m.precision - 1)) - 1;
+    if (q > lim) q = lim;
+    if (q < -(lim + 1)) q = -(lim + 1);
+    e -= q;
+    m.qcoef[i] = -q;  // predictor: x[i] ~= sum qcoef*x[i-1-j] (sign folded)
+  }
+  m.order = max_order;
+  m.shift = shift;
+  m.ok = true;
+  return m;
+}
+
+void lpc_residual(const int32_t* x, size_t n, const LpcModel& m, int32_t* out) {
+  for (size_t i = m.order; i < n; ++i) {
+    int64_t pred = 0;
+    for (int j = 0; j < m.order; ++j) pred += int64_t(m.qcoef[j]) * x[i - 1 - j];
+    out[i] = x[i] - int32_t(pred >> m.shift);
+  }
+}
+
+// Encode one channel's samples as the best subframe.
+void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
+  // CONSTANT?
+  bool constant = true;
+  for (size_t i = 1; i < n && constant; ++i) constant = (x[i] == x[0]);
+  if (constant) {
+    bw.put(0, 1);            // zero pad
+    bw.put(0, 6);            // CONSTANT
+    bw.put(0, 1);            // no wasted bits
+    bw.put_signed(x[0], bps);
+    return;
+  }
+  // choose fixed order by min abs residual sum
+  std::vector<int32_t> res(n), best_res(n);
+  int best_order = 0;
+  uint64_t best_sum = ~0ull;
+  for (int order = 0; order <= 4 && size_t(order) < n; ++order) {
+    fixed_residual(x, n, order, res.data());
+    uint64_t s = abs_residual_sum(res, order);
+    if (s < best_sum) { best_sum = s; best_order = order; best_res = res; }
+  }
+  // LPC candidate
+  LpcModel lpc = lpc_analyze(x, n, 8);
+  bool use_lpc = false;
+  std::vector<int32_t> lres;
+  if (lpc.ok && n > size_t(lpc.order) * 2) {
+    lres.resize(n);
+    lpc_residual(x, n, lpc, lres.data());
+    uint64_t s = abs_residual_sum(lres, lpc.order);
+    // ~bits: lpc header overhead = order*(bps + precision); compare sums
+    double fixed_bits = double(best_sum) / std::max<size_t>(n - best_order, 1);
+    double lpc_bits = double(s) / std::max<size_t>(n - lpc.order, 1);
+    double overhead = double(lpc.order) * (bps + lpc.precision) / double(n);
+    use_lpc = (log2(lpc_bits + 1) + overhead + 0.05) < log2(fixed_bits + 1);
+  }
+  if (use_lpc) {
+    bw.put(0, 1);
+    bw.put(0x20 | uint32_t(lpc.order - 1), 6);  // LPC
+    bw.put(0, 1);
+    for (int i = 0; i < lpc.order; ++i) bw.put_signed(x[i], bps);  // warmup
+    bw.put(uint32_t(lpc.precision - 1), 4);
+    bw.put(uint32_t(lpc.shift), 5);
+    for (int i = 0; i < lpc.order; ++i) bw.put_signed(lpc.qcoef[i], lpc.precision);
+    write_residual(bw, lres.data() + lpc.order, n, lpc.order);
+  } else {
+    bw.put(0, 1);
+    bw.put(0x08 | uint32_t(best_order), 6);  // FIXED
+    bw.put(0, 1);
+    for (int i = 0; i < best_order; ++i) bw.put_signed(x[i], bps);
+    write_residual(bw, best_res.data() + best_order, n, best_order);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Frame assembly
+// ---------------------------------------------------------------------------
+
+void write_utf8(std::vector<uint8_t>& v, uint64_t val) {
+  if (val < 0x80) { v.push_back(uint8_t(val)); return; }
+  // k continuation bytes cover 5k+6 payload bits
+  int cont = 1;
+  while (val >= (1ull << (5 * cont + 6)) && cont < 6) ++cont;
+  uint8_t lead = uint8_t(0xFF << (7 - cont)) & 0xFF;
+  v.push_back(uint8_t(lead | (val >> (6 * cont))));
+  for (int i = cont - 1; i >= 0; --i)
+    v.push_back(uint8_t(0x80 | ((val >> (6 * i)) & 0x3F)));
+}
+
+int sample_rate_code(uint32_t rate) {
+  switch (rate) {
+    case 88200: return 0x1;   // actually 88.2k = 0b0001? (see table below)
+    case 176400: return 0x2;
+    case 192000: return 0x3;
+    case 8000: return 0x4;
+    case 16000: return 0x5;
+    case 22050: return 0x6;
+    case 24000: return 0x7;
+    case 32000: return 0x8;
+    case 44100: return 0x9;
+    case 48000: return 0xA;
+    case 96000: return 0xB;
+    default: return 0;  // 0b0000: take from STREAMINFO
+  }
+}
+
+int sample_size_code(int bps) {
+  switch (bps) {
+    case 8: return 1;
+    case 12: return 2;
+    case 16: return 4;
+    case 20: return 5;
+    case 24: return 6;
+    case 32: return 7;
+    default: return 0;
+  }
+}
+
+struct Encoder {
+  uint32_t rate, channels, bps, block_size;
+  uint64_t frame_index = 0;
+  uint64_t total_samples = 0;
+  uint32_t min_frame = 0xFFFFFFFF, max_frame = 0;
+  MD5 md5;
+  std::vector<int32_t> pend;  // interleaved pending samples
+  std::vector<uint8_t> out;
+
+  void feed(const int32_t* samples, size_t n_frames) {
+    // MD5 over raw little-endian samples, ceil(bps/8) bytes each
+    size_t bytes_per = (bps + 7) / 8;
+    std::vector<uint8_t> raw(n_frames * channels * bytes_per);
+    size_t o = 0;
+    for (size_t i = 0; i < n_frames * channels; ++i) {
+      int32_t v = samples[i];
+      for (size_t b = 0; b < bytes_per; ++b) raw[o++] = uint8_t(v >> (8 * b));
+    }
+    md5.update(raw.data(), raw.size());
+    pend.insert(pend.end(), samples, samples + n_frames * channels);
+    total_samples += n_frames;
+    while (pend.size() >= size_t(block_size) * channels) {
+      encode_block(pend.data(), block_size);
+      pend.erase(pend.begin(), pend.begin() + size_t(block_size) * channels);
+    }
+  }
+
+  void finish() {
+    if (!pend.empty()) {
+      encode_block(pend.data(), uint32_t(pend.size() / channels));
+      pend.clear();
+    }
+  }
+
+  void encode_block(const int32_t* inter, uint32_t bs) {
+    // deinterleave
+    std::vector<std::vector<int32_t>> ch(channels, std::vector<int32_t>(bs));
+    for (uint32_t i = 0; i < bs; ++i)
+      for (uint32_t c = 0; c < channels; ++c) ch[c][i] = inter[i * channels + c];
+
+    int assignment = int(channels) - 1;  // independent
+    std::vector<int32_t> mid, side;
+    if (channels == 2) {
+      mid.resize(bs);
+      side.resize(bs);
+      for (uint32_t i = 0; i < bs; ++i) {
+        mid[i] = (ch[0][i] + ch[1][i]) >> 1;
+        side[i] = ch[0][i] - ch[1][i];
+      }
+      // order-2 abs-sum heuristic for channel mode choice
+      auto cost = [&](const std::vector<int32_t>& v) {
+        std::vector<int32_t> r(v.size());
+        fixed_residual(v.data(), v.size(), 2, r.data());
+        return abs_residual_sum(r, 2);
+      };
+      uint64_t cl = cost(ch[0]), cr = cost(ch[1]), cm = cost(mid), cs = cost(side);
+      uint64_t independent = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;
+      uint64_t best = std::min(std::min(independent, ms), std::min(ls, rs));
+      if (best == ls) assignment = 8;
+      else if (best == rs) assignment = 9;
+      else if (best == ms) assignment = 10;
+    }
+
+    // frame header
+    std::vector<uint8_t> hdr;
+    {
+      BitWriter h;
+      h.put(0x3FFE, 14);  // sync
+      h.put(0, 1);        // reserved
+      h.put(0, 1);        // fixed blocksize stream
+      int bs_code;
+      int bs_tail_bits = 0;
+      uint32_t bs_tail = 0;
+      if (bs == block_size && bs == 4096) bs_code = 12;
+      else if (bs == block_size && bs == 4608) bs_code = 14;  // not used
+      else { bs_code = 7; bs_tail_bits = 16; bs_tail = bs - 1; }
+      h.put(uint32_t(bs_code), 4);
+      h.put(uint32_t(sample_rate_code(rate)), 4);
+      h.put(uint32_t(assignment), 4);
+      h.put(uint32_t(sample_size_code(int(bps))), 3);
+      h.put(0, 1);  // reserved
+      hdr = h.buf;
+      write_utf8(hdr, frame_index);
+      if (bs_tail_bits) {
+        hdr.push_back(uint8_t(bs_tail >> 8));
+        hdr.push_back(uint8_t(bs_tail));
+      }
+      hdr.push_back(crc8(hdr.data(), hdr.size()));
+    }
+
+    BitWriter bw;
+    bw.buf = hdr;
+    if (channels == 2 && assignment >= 8) {
+      if (assignment == 8) {        // left/side
+        write_subframe(bw, ch[0].data(), bs, int(bps));
+        write_subframe(bw, side.data(), bs, int(bps) + 1);
+      } else if (assignment == 9) { // right/side
+        write_subframe(bw, side.data(), bs, int(bps) + 1);
+        write_subframe(bw, ch[1].data(), bs, int(bps));
+      } else {                      // mid/side
+        write_subframe(bw, mid.data(), bs, int(bps));
+        write_subframe(bw, side.data(), bs, int(bps) + 1);
+      }
+    } else {
+      for (uint32_t c = 0; c < channels; ++c)
+        write_subframe(bw, ch[c].data(), bs, int(bps));
+    }
+    bw.align_byte();
+    uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
+    bw.buf.push_back(uint8_t(c16 >> 8));
+    bw.buf.push_back(uint8_t(c16));
+
+    uint32_t fsz = uint32_t(bw.buf.size());
+    min_frame = std::min(min_frame, fsz);
+    max_frame = std::max(max_frame, fsz);
+    out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+    ++frame_index;
+  }
+
+  // 4-byte "fLaC" + 4-byte block header + 34-byte STREAMINFO
+  void header(uint8_t* dst, int is_last) {
+    uint8_t md[16];
+    MD5 m = md5;  // copy so header() can be called before/after finish
+    m.finish(md);
+    uint8_t* p = dst;
+    memcpy(p, "fLaC", 4); p += 4;
+    *p++ = uint8_t((is_last ? 0x80 : 0x00) | 0x00);  // STREAMINFO
+    *p++ = 0; *p++ = 0; *p++ = 34;
+    auto put16 = [&](uint32_t v) { *p++ = uint8_t(v >> 8); *p++ = uint8_t(v); };
+    auto put24 = [&](uint32_t v) { *p++ = uint8_t(v >> 16); *p++ = uint8_t(v >> 8); *p++ = uint8_t(v); };
+    put16(block_size);  // min block
+    put16(block_size);  // max block (frames may be shorter at EOF: spec allows equal declared)
+    put24(min_frame == 0xFFFFFFFF ? 0 : min_frame);
+    put24(max_frame);
+    // 20 bits rate, 3 bits ch-1, 5 bits bps-1, 36 bits total samples
+    uint64_t v = (uint64_t(rate) << 44) | (uint64_t(channels - 1) << 41) |
+                 (uint64_t(bps - 1) << 36) | (total_samples & 0xFFFFFFFFFull);
+    for (int i = 7; i >= 0; --i) *p++ = uint8_t(v >> (8 * i));
+    memcpy(p, md, 16);
+  }
+};
+
+}  // namespace
+
+DSDKIT_API void* dsdkit_flac_new(uint32_t rate, uint32_t channels,
+                                 uint32_t bps, uint32_t block_size) {
+  auto* e = new Encoder();
+  e->rate = rate;
+  e->channels = channels;
+  e->bps = bps;
+  e->block_size = block_size ? block_size : 4096;
+  return e;
+}
+
+DSDKIT_API void dsdkit_flac_feed(void* enc, const int32_t* samples,
+                                 size_t n_frames) {
+  static_cast<Encoder*>(enc)->feed(samples, n_frames);
+}
+
+DSDKIT_API void dsdkit_flac_finish(void* enc) {
+  static_cast<Encoder*>(enc)->finish();
+}
+
+DSDKIT_API size_t dsdkit_flac_pending(void* enc) {
+  return static_cast<Encoder*>(enc)->out.size();
+}
+
+DSDKIT_API size_t dsdkit_flac_drain(void* enc, uint8_t* dst, size_t cap) {
+  auto* e = static_cast<Encoder*>(enc);
+  size_t n = std::min(cap, e->out.size());
+  memcpy(dst, e->out.data(), n);
+  e->out.erase(e->out.begin(), e->out.begin() + n);
+  return n;
+}
+
+DSDKIT_API void dsdkit_flac_header(void* enc, uint8_t* dst42, int is_last) {
+  static_cast<Encoder*>(enc)->header(dst42, is_last);
+}
+
+DSDKIT_API void dsdkit_flac_free(void* enc) {
+  delete static_cast<Encoder*>(enc);
+}

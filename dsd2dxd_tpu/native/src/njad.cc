@@ -1,0 +1,111 @@
+// njad.cc — "Not Just Another Dither" requantizer.
+//
+// The reference README documents `-d N` (reference README.md:74) from the
+// pre-Rust C++ dsd2dxd, crediting Airwindows (README.md:236-244); v2.7.0
+// dropped it but the driver's BASELINE configs require it (SURVEY.md §2.4
+// fine print). This is a fresh implementation of the published
+// Airwindows "Not Just Another Dither" idea: instead of adding noise,
+// choose between floor and ceil per sample so the running distribution
+// of leading digits of the quantized values tracks Benford's law —
+// a deterministic, content-adaptive dither. Sequential feedback per
+// channel, hence host-side native code (SURVEY.md §2.3).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#define DSDKIT_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// Benford ideal proportions log10(1 + 1/d), d = 1..9.
+const double kBenford[10] = {0.0,
+                             0.301029995663981, 0.176091259055681,
+                             0.124938736608300, 0.096910013008056,
+                             0.079181246047625, 0.066946789630613,
+                             0.057991946977687, 0.051152522447381,
+                             0.045757490560675};
+
+struct ChannelState {
+  double counts[10];
+  double total;
+};
+
+struct NjadState {
+  uint32_t channels;
+  ChannelState ch[16];
+};
+
+int leading_digit(double v) {
+  v = std::fabs(v);
+  if (v < 1e-7) return 0;
+  while (v >= 10.0) v /= 10.0;
+  while (v < 1.0) v *= 10.0;
+  int d = int(v);
+  return (d >= 1 && d <= 9) ? d : 0;
+}
+
+// Distance of the histogram (with candidate digit d added) from Benford.
+double score(const ChannelState& st, int d) {
+  double total = st.total + (d > 0 ? 1.0 : 0.0);
+  if (total <= 0.0) return 0.0;
+  double s = 0.0;
+  for (int i = 1; i <= 9; ++i) {
+    double c = st.counts[i] + (i == d ? 1.0 : 0.0);
+    s += std::fabs(c / total - kBenford[i]);
+  }
+  return s;
+}
+
+int32_t clip(long long v, int bits) {
+  long long lim = 1ll << (bits - 1);
+  if (v >= lim) return int32_t(lim - 1);
+  if (v < -lim) return int32_t(-lim);
+  return int32_t(v);
+}
+
+}  // namespace
+
+DSDKIT_API void* dsdkit_njad_new(uint32_t channels) {
+  if (channels > 16) channels = 16;
+  auto* st = new NjadState();
+  st->channels = channels;
+  for (uint32_t c = 0; c < channels; ++c) {
+    for (int i = 0; i < 10; ++i) st->ch[c].counts[i] = 0.0;
+    st->ch[c].total = 0.0;
+  }
+  return st;
+}
+
+// in: (frames x channels) float32 full-scale ±1; out: int32 at `bits`.
+DSDKIT_API void dsdkit_njad_quantize(void* handle, const float* in,
+                                     int32_t* out, size_t frames,
+                                     uint32_t channels, int bits) {
+  auto* st = static_cast<NjadState*>(handle);
+  double scale = double(1ll << (bits - 1));
+  for (size_t i = 0; i < frames; ++i) {
+    for (uint32_t c = 0; c < channels; ++c) {
+      ChannelState& cs = st->ch[c < st->channels ? c : 0];
+      double x = double(in[i * channels + c]) * scale;
+      double lo = std::floor(x), hi = lo + 1.0;
+      int dlo = leading_digit(lo), dhi = leading_digit(hi);
+      double pick;
+      int dpick;
+      if (score(cs, dlo) <= score(cs, dhi)) { pick = lo; dpick = dlo; }
+      else { pick = hi; dpick = dhi; }
+      if (dpick > 0) {
+        cs.counts[dpick] += 1.0;
+        cs.total += 1.0;
+        if (cs.total > 1024.0) {  // decay so the histogram stays adaptive
+          for (int k = 1; k <= 9; ++k) cs.counts[k] *= 0.5;
+          cs.total *= 0.5;
+        }
+      }
+      out[i * channels + c] = clip((long long)std::llround(pick), bits);
+    }
+  }
+}
+
+DSDKIT_API void dsdkit_njad_free(void* handle) {
+  delete static_cast<NjadState*>(handle);
+}

@@ -211,7 +211,7 @@ def tile_out_samples(chain: Sequence[Stage], tile_bits: int) -> int:
     return n
 
 
-def make_step(chain: Sequence[Stage], cfg: StepConfig):
+def make_step(chain: Sequence[Stage], cfg: StepConfig, jit: bool = True):
     """Build the jitted per-tile function.
 
     step(x_u8 (C, tile_bytes), hists, key) ->
@@ -245,4 +245,4 @@ def make_step(chain: Sequence[Stage], cfg: StepConfig):
             out = quantize_int(x, cfg.bit_depth, noise)
         return out.T, peak.astype(jnp.float32), tuple(new_hists)
 
-    return jax.jit(step, donate_argnums=(1,))
+    return jax.jit(step, donate_argnums=(1,)) if jit else step

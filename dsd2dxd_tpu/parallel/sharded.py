@@ -1,0 +1,189 @@
+"""Multi-device scaling: overlap-save tile parallelism + stream batching.
+
+The reference scales with a CPU thread pool, one file per thread
+(reference src/main.rs:148-163, 279-297). The TPU-native equivalents
+(SURVEY.md §2.6, §5 "long-context" row):
+
+- **stream parallelism (dp)**: a batch of independent streams (files)
+  sharded across devices — no collectives;
+- **tile parallelism (sp)**: ONE stream split into overlap-save tiles
+  with (effective taps - 1) input halos; because the whole chain is FIR
+  (no IIR state), tiles are independent and the sequential stream scan
+  becomes pure data parallelism over the mesh.
+
+Both are expressed with `jax.sharding.Mesh` + `shard_map`; peaks combine
+with `jax.lax.pmax` over the mesh axes (the only cross-device
+communication in the system — a scalar).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dsd2dxd_tpu.filters.design import Stage, chain_ratio
+from dsd2dxd_tpu.formats.dsd_types import DitherType
+from dsd2dxd_tpu.ops.resample import (
+    StepConfig,
+    _dither_noise,
+    dither_float32,
+    quantize_int,
+    stage_apply_streaming,
+    stage_history_len,
+    unpack_bits,
+)
+
+
+def chain_halo_bits(chain: Sequence[Stage]) -> int:
+    """Input-domain context (bits) that fully warms every stage of the
+    cascade: sum of each stage's history mapped back through the
+    cumulative decimation of the stages before it."""
+    halo = 0
+    cum = 1.0  # input samples per stage-input sample
+    for s in chain:
+        halo += math.ceil(stage_history_len(s) * cum)
+        cum *= s.M / s.L
+    return halo
+
+
+def halo_bytes_for(chain: Sequence[Stage]) -> int:
+    """Halo rounded up to whole bytes and to the chain input multiple."""
+    prod_m = 1
+    for s in chain:
+        prod_m *= s.M
+    unit = math.lcm(8, prod_m)
+    bits = chain_halo_bits(chain)
+    return (-(-bits // unit)) * unit // 8
+
+
+def _tile_chain_fn(chain, cfg: StepConfig, halo_bytes: int):
+    """Per-tile function: (C, halo+tile bytes) -> ((n_out, C), peak).
+
+    Processes halo+tile through the cascade with zero initial history and
+    keeps only the outputs belonging to the tile — translation invariance
+    of the FIR cascade makes them equal to the streaming outputs."""
+    ratio = chain_ratio(chain)
+    dtype = jnp.dtype(cfg.dtype)
+    taps_const = tuple(jnp.asarray(s.taps, dtype=dtype) for s in chain)
+    n_keep = int(cfg.tile_bytes * 8 * ratio)
+    gain = 10.0 ** (cfg.level_db / 20.0)
+
+    def fn(x_u8, key):
+        x = unpack_bits(x_u8, dtype=dtype)
+        for stage, taps in zip(chain, taps_const):
+            hist = jnp.zeros((x.shape[0], stage_history_len(stage)),
+                             dtype=dtype)
+            x, _ = stage_apply_streaming(x, hist, stage, taps)
+        x = x[:, x.shape[1] - n_keep:]
+        if gain != 1.0:
+            x = x * dtype.type(gain)
+        peak = jnp.max(jnp.abs(x))
+        if cfg.bit_depth == 32:
+            out = (dither_float32(x.astype(jnp.float32), key)
+                   if cfg.dither is DitherType.FPD else x.astype(jnp.float32))
+        else:
+            noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
+            out = quantize_int(x, cfg.bit_depth, noise)
+        return out.T, peak.astype(jnp.float32)
+
+    return fn
+
+
+def make_sharded_convert(chain, cfg: StepConfig, mesh: Mesh,
+                         stream_axis: str = "stream",
+                         tile_axis: str = "tile"):
+    """Build a jitted 2D-sharded converter over a ('stream', 'tile') mesh.
+
+    Input:  (B, T, C, halo_bytes + tile_bytes) uint8 — B streams split
+            into T overlap-save tiles each, sharded P(stream, tile).
+    Output: (B, T, n_out, C) PCM sharded the same way, plus the global
+            peak (pmax over both mesh axes).
+    """
+    halo = halo_bytes_for(chain)
+    tile_fn = _tile_chain_fn(chain, cfg, halo)
+
+    def shard_fn(x, keys):
+        # x: (b_local, t_local, C, halo+tile); vmap the tile fn over both.
+        out, peaks = jax.vmap(jax.vmap(tile_fn))(x, keys)
+        peak = jnp.max(peaks)
+        peak = jax.lax.pmax(jax.lax.pmax(peak, tile_axis), stream_axis)
+        return out, peak
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(stream_axis, tile_axis, None, None),
+                  P(stream_axis, tile_axis, None)),
+        out_specs=(P(stream_axis, tile_axis, None, None), P()),
+    )
+    return jax.jit(mapped), halo
+
+
+def split_overlap_save(planes: np.ndarray, n_tiles: int, tile_bytes: int,
+                       halo_bytes: int) -> np.ndarray:
+    """(C, B) stream -> (n_tiles, C, halo+tile) overlap-save tiles.
+    The stream is zero-... idle-padded on the left (warmup) and on the
+    right up to n_tiles*tile_bytes (callers trim outputs)."""
+    c, total = planes.shape
+    need = n_tiles * tile_bytes
+    if total < need:
+        pad = np.full((c, need - total), 0x69, dtype=np.uint8)
+        planes = np.concatenate([planes, pad], axis=1)
+    lead = np.full((c, halo_bytes), 0x69, dtype=np.uint8)
+    padded = np.concatenate([lead, planes], axis=1)
+    tiles = [padded[:, t * tile_bytes:t * tile_bytes + halo_bytes + tile_bytes]
+             for t in range(n_tiles)]
+    return np.stack(tiles)
+
+
+def convert_stream_tiled(planes: np.ndarray, chain, cfg: StepConfig,
+                         mesh: Mesh, key=None):
+    """Convert one whole stream by sharding its overlap-save tiles over a
+    1D mesh. Returns ((n_out, C) np.ndarray, peak).
+
+    Note: unlike the streaming engine (zero initial filter state), the
+    left warmup here is idle-pattern padding; outputs match the streaming
+    path everywhere past the first halo's worth of samples.
+    """
+    assert len(mesh.axis_names) == 1, "convert_stream_tiled wants a 1D mesh"
+    axis = mesh.axis_names[0]
+    if key is None:
+        key = jax.random.PRNGKey(0x5D5D)
+    n_dev = math.prod(mesh.devices.shape)
+    c, total = planes.shape
+    unit = _chain_unit_bytes(chain)
+    tile_bytes = -(-total // (n_dev * unit)) * unit
+    halo = halo_bytes_for(chain)
+    tiles = split_overlap_save(planes, n_dev, tile_bytes, halo)
+    keys = jax.random.split(key, n_dev)
+    sub_cfg = StepConfig(channels=c, tile_bytes=tile_bytes,
+                         bit_depth=cfg.bit_depth, dither=cfg.dither,
+                         level_db=cfg.level_db, dtype=cfg.dtype)
+    tile_fn = _tile_chain_fn(chain, sub_cfg, halo)
+
+    def shard_fn(x, k):
+        out, peaks = jax.vmap(tile_fn)(x, k)
+        return out, jax.lax.pmax(jnp.max(peaks), axis)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis, None, None), P()),
+    ))
+    out, peak = fn(jnp.asarray(tiles), keys)
+    out = np.asarray(out).reshape(-1, c)
+    ratio = chain_ratio(chain)
+    n_valid = int(total * 8 * ratio)
+    return out[:n_valid], float(peak)
+
+
+def _chain_unit_bytes(chain) -> int:
+    prod_m = 1
+    for s in chain:
+        prod_m *= s.M
+    return math.lcm(8, prod_m) // 8

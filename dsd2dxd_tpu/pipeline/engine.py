@@ -50,13 +50,11 @@ _DEFAULT_TILE_TARGET = 4 * 1024 * 1024  # DSD bytes per channel per tile
 
 
 def _tile_bytes_for(chain, target_bytes: int) -> int:
-    """Tile size (bytes/channel) aligned so every stage output is integral:
-    bits must be a multiple of lcm(8, prod(M_i)) (see filters/design.py
-    chain_input_multiple)."""
-    prod_m = 1
-    for s in chain:
-        prod_m *= s.M
-    unit_bits = math.lcm(8, prod_m)
+    """Tile size (bytes/channel) aligned so every stage of the phase-major
+    pipeline keeps integral lane counts (ops/phase.py)."""
+    from dsd2dxd_tpu.ops.phase import build_chain_plans, chain_tile_unit_bits
+
+    unit_bits = chain_tile_unit_bits(build_chain_plans(chain))
     target_bits = target_bytes * 8
     n_units = max(1, -(-target_bits // unit_bits))
     return n_units * unit_bits // 8
@@ -65,10 +63,10 @@ def _tile_bytes_for(chain, target_bytes: int) -> int:
 @lru_cache(maxsize=32)
 def _cached_step(chain_key, cfg):
     from dsd2dxd_tpu.filters.design import get_chain
-    from dsd2dxd_tpu.ops.resample import make_step
+    from dsd2dxd_tpu.ops.phase import make_phase_step
 
     chain = get_chain(*chain_key)
-    return make_step(chain, cfg)
+    return make_phase_step(chain, cfg)
 
 
 class Converter:
@@ -86,6 +84,10 @@ class Converter:
             raise ConfigError(f"Invalid bit depth: {bit_depth}")
         if output is OutputType.FLAC and bit_depth == 32:
             raise ConfigError("FLAC output supports integer depths only")
+        if dither is DitherType.NJAD and bit_depth == 32:
+            raise ConfigError(
+                "NJAD dither quantizes to integer depths (use -d F for "
+                "32-bit float output)")
         self.source = source
         self.input_path = Path(input_path) if input_path else None
         self.bit_depth = bit_depth
@@ -206,7 +208,7 @@ class Converter:
         level-check mode.
         """
         from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
-        from dsd2dxd_tpu.ops.resample import StepConfig, init_hists
+        from dsd2dxd_tpu.ops.resample import StepConfig
         import jax
 
         info = self.source.info
@@ -214,15 +216,24 @@ class Converter:
         chain = get_chain(*chain_key)
         ratio = chain_ratio(chain)
         tile_bytes = _tile_bytes_for(chain, self.tile_target_bytes)
+        # NJAD is a sequential host-side requantizer (native/src/njad.cc):
+        # the device step emits float PCM, the sink quantizes.
+        float_out = (self.level_check_only
+                     or self.dither is DitherType.NJAD
+                     or self.bit_depth == 32)
         cfg = StepConfig(
             channels=info.channels,
             tile_bytes=tile_bytes,
-            bit_depth=self.bit_depth if not self.level_check_only else 32,
-            dither=self.dither if not self.level_check_only else DitherType.NONE,
+            bit_depth=32 if float_out else self.bit_depth,
+            dither=(DitherType.NONE
+                    if self.level_check_only or self.dither is DitherType.NJAD
+                    else self.dither),
             level_db=self.level_db,
         )
         step = _cached_step(chain_key, cfg)
-        hists = init_hists(chain, info.channels)
+        from dsd2dxd_tpu.ops.phase import build_chain_plans, init_phase_hists
+
+        hists = init_phase_hists(build_chain_plans(chain), info.channels)
         key = jax.random.PRNGKey(0x5D5D)
 
         total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
@@ -249,8 +260,11 @@ class Converter:
             n_total = int(valid_bits * ratio)
             n_valid = n_total - emitted
             emitted = n_total
+            from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
             out, tile_peak, hists = step(
-                planes, hists, jax.random.fold_in(key, tile_idx))
+                chunked_device_put(planes), hists,
+                jax.random.fold_in(key, tile_idx))
             tile_idx += 1
             if pending is not None:
                 peak = self._drain(pending, sink, peak)
@@ -276,6 +290,23 @@ class Converter:
             sink(host)
         return peak
 
+    def _make_sink(self, write):
+        """Wrap a writer's write() with the NJAD host requantizer when
+        requested (device emits float32 tiles in that mode)."""
+        if self.dither is not DitherType.NJAD or self.bit_depth == 32:
+            return write, lambda: None
+        from dsd2dxd_tpu.native import lib as native
+
+        if native is None:
+            raise ConfigError(
+                "NJAD dither needs the native extension (g++ build failed)")
+        state = native.njad_new(self.source.info.channels)
+
+        def sink(tile: np.ndarray) -> None:
+            write(native.njad_quantize(state, tile, self.bit_depth))
+
+        return sink, lambda: native.njad_free(state)
+
     def do_conversion(self, cancel: Optional[CancelFn] = None,
                       progress: Optional[ProgressFn] = None) -> None:
         """Run the conversion (reference src/main.rs:345, 429)."""
@@ -294,16 +325,24 @@ class Converter:
         if self._out_path is None:
             out = sys.stdout.buffer
 
-            def sink(tile: np.ndarray) -> None:
+            def write(tile: np.ndarray) -> None:
                 out.write(pack(tile, self.bit_depth, big_endian=False))
 
-            self._run(cancel, progress, sink)
+            sink, cleanup = self._make_sink(write)
+            try:
+                self._run(cancel, progress, sink)
+            finally:
+                cleanup()
             out.flush()
             return
         self._out_path.parent.mkdir(parents=True, exist_ok=True)
         with open(self._out_path, "wb") as f:
             writer = self._make_writer(f, id3)
-            self._run(cancel, progress, writer.write)
+            sink, cleanup = self._make_sink(writer.write)
+            try:
+                self._run(cancel, progress, sink)
+            finally:
+                cleanup()
             writer.finalize()
 
     def check_level(self, cancel: Optional[CancelFn] = None,

@@ -1,0 +1,63 @@
+"""Host<->device transfer strategy.
+
+Measured on this environment's TPU tunnel (see bench.py docstring):
+single `device_put` calls fall off a cliff above ~1 MiB (800+ -> ~30
+MiB/s), while a stream of sub-MiB puts sustains ~800 MiB/s. Uploads are
+therefore chunked and reassembled on device with one cached concatenate.
+On a directly-attached TPU host (PCIe), chunking is harmless: the cached
+single-chunk path is a plain device_put.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CHUNK_BYTES = 512 * 1024
+
+
+@lru_cache(maxsize=64)
+def _concat_fn(n_chunks: int, shape, dtype):
+    def f(*chunks):
+        return jnp.concatenate(chunks).reshape(shape)
+
+    return jax.jit(f)
+
+
+def chunked_device_put(arr: np.ndarray, device=None,
+                       chunk_bytes: int = _CHUNK_BYTES):
+    """device_put that stays on the tunnel's fast path for large arrays."""
+    if arr.nbytes <= chunk_bytes:
+        return jax.device_put(arr, device)
+    flat = np.ascontiguousarray(arr).reshape(-1)
+    n = flat.shape[0]
+    per = max(1, chunk_bytes // arr.dtype.itemsize)
+    bounds = list(range(0, n, per))
+    chunks = [flat[b:b + per] for b in bounds]
+    dev_chunks = [jax.device_put(c, device) for c in chunks]
+    # equal-size chunks except possibly the last -> stable cache key
+    key_shape = tuple(arr.shape)
+    f = _concat_fn(len(dev_chunks), key_shape, str(arr.dtype))
+    return f(*dev_chunks)
+
+
+def pack24_device(samples: jax.Array) -> jax.Array:
+    """(frames, C) int32 -> (3, frames*C) uint8 little-endian byte planes.
+
+    Planar byte rows keep the lane dimension large (TPU-friendly) and cut
+    D2H volume 25% vs int32; the host interleaves with one transpose
+    (containers/pack.py consumes the (frames*C, 3) view directly)."""
+    v = samples.reshape(-1).astype(jnp.uint32)
+    return jnp.stack([
+        (v & 0xFF).astype(jnp.uint8),
+        ((v >> 8) & 0xFF).astype(jnp.uint8),
+        ((v >> 16) & 0xFF).astype(jnp.uint8),
+    ])
+
+
+def unpack24_host(rows: np.ndarray) -> bytes:
+    """(3, N) uint8 byte planes -> s24le wire bytes."""
+    return np.ascontiguousarray(np.asarray(rows).T).tobytes()

@@ -1,0 +1,148 @@
+"""FLAC encoder (native C++) round-trip tests against the pure-Python
+decoder oracle, plus the engine/CLI FLAC paths (SURVEY.md §4.3e: golden
+re-parse of every written container, FLAC MD5)."""
+
+import numpy as np
+import pytest
+
+from dsd2dxd_tpu.formats.flac_decode import decode_flac
+
+native = pytest.importorskip("dsd2dxd_tpu.native").lib
+if native is None:
+    pytest.skip("native extension unavailable", allow_module_level=True)
+
+
+def encode(x: np.ndarray, rate=88200, bps=16, block=4096) -> bytes:
+    enc = native.flac_new(rate, x.shape[1], bps, block)
+    payload = b""
+    for off in range(0, len(x), 3000):  # feed in odd-sized chunks
+        native.flac_feed(enc, x[off:off + 3000])
+        payload += native.flac_drain(enc)
+    native.flac_finish(enc)
+    payload += native.flac_drain(enc)
+    hdr = native.flac_header(enc, True)
+    native.flac_free(enc)
+    return hdr + payload
+
+
+def roundtrip(x, **kw):
+    blob = encode(x, **kw)
+    st = decode_flac(blob)
+    np.testing.assert_array_equal(st.samples, x)
+    assert st.md5_ok
+    return st, blob
+
+
+def _tone(n, channels, amp, bps, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    chans = []
+    for c in range(channels):
+        x = amp * np.sin(2 * np.pi * t / 39.7 + 0.3 * c)
+        x = x + rng.normal(0, amp * 1e-3, n)
+        chans.append(x)
+    x = np.stack(chans, axis=1)
+    lim = 1 << (bps - 1)
+    return np.clip(np.round(x), -lim, lim - 1).astype(np.int32)
+
+
+@pytest.mark.parametrize("bps", [16, 20, 24])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_roundtrip_tonal(bps, channels):
+    x = _tone(20000, channels, (1 << (bps - 2)), bps)
+    st, blob = roundtrip(x, bps=bps)
+    assert st.bits_per_sample == bps
+    assert st.channels == channels
+    # tonal content must actually compress
+    assert len(blob) < x.nbytes * 0.9
+
+
+def test_roundtrip_noise_and_extremes():
+    rng = np.random.default_rng(1)
+    lim = 1 << 23
+    x = rng.integers(-lim, lim, size=(10000, 2), dtype=np.int32)
+    x[:10, 0] = lim - 1
+    x[:10, 1] = -lim
+    roundtrip(x, bps=24)
+
+
+def test_roundtrip_constant_and_silence():
+    x = np.zeros((9000, 2), dtype=np.int32)
+    x[4096:8192] = 1234
+    st, blob = roundtrip(x)
+    assert len(blob) < 1500  # constant blocks are nearly free
+
+
+def test_partial_final_block():
+    x = _tone(4096 + 777, 2, 8000, 16)
+    roundtrip(x)
+
+
+def test_rate_code_from_streaminfo():
+    # 352800 has no frame-header rate code; decoder must use STREAMINFO
+    x = _tone(6000, 2, 8000, 16)
+    st, _ = roundtrip(x, rate=352800)
+    assert st.sample_rate == 352800
+
+
+def test_vorbis_comments_from_id3(tmp_path):
+    from dsd2dxd_tpu.containers.flac import FlacWriter
+    from dsd2dxd_tpu.formats.id3 import Id3Frame, Id3Tag
+
+    tag = Id3Tag()
+    tag.set_text("TIT2", "1kHz Test Tone DSD64")
+    tag.set_text("TPE1", "clone206")
+    tag.set_text("TALB", "Greatest Test Tone Hits")
+    x = _tone(5000, 2, 8000, 16)
+    p = tmp_path / "t.flac"
+    with open(p, "wb") as f:
+        w = FlacWriter(f, 2, 88200, 16, id3=tag.to_bytes())
+        w.write(x)
+        w.finalize()
+    st = decode_flac(p.read_bytes())
+    np.testing.assert_array_equal(st.samples, x)
+    assert st.md5_ok
+    assert st.comments.get("TITLE") == "1kHz Test Tone DSD64"
+    assert st.comments.get("ARTIST") == "clone206"
+    assert st.comments.get("ALBUM") == "Greatest Test Tone Hits"
+
+
+def test_njad_quantizer_basic():
+    rng = np.random.default_rng(0)
+    x = (0.5 * np.sin(2 * np.pi * np.arange(30000) / 47.3)).astype(np.float32)
+    x = np.stack([x, x * 0.9], axis=1)
+    st = native.njad_new(2)
+    got = native.njad_quantize(st, x, 24)
+    native.njad_free(st)
+    # quantization error bounded by 1 LSB (floor/ceil choice)
+    err = got.astype(np.float64) - x.astype(np.float64) * 2 ** 23
+    assert np.abs(err).max() <= 1.0 + 1e-6
+    # deterministic: same input, same state -> same output
+    st2 = native.njad_new(2)
+    got2 = native.njad_quantize(st2, x, 24)
+    native.njad_free(st2)
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_engine_baseline3_dsd128_flac_20bit_njad(tmp_path):
+    """BASELINE.md config 3: DSD128 .dsf -> 88.2k FLAC, 20-bit, NJAD."""
+    from dsd2dxd_tpu.formats.dsd_types import (
+        DitherType, FilterType, OutputType)
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+    from dsd2dxd_tpu.pipeline.engine import Converter
+
+    src = tmp_path / "tone128.dsf"
+    planes = synth_tone_dsd(1000.0, 0.3, 5_644_800, amplitude=0.5, channels=2)
+    write_dsf(src, planes, 5_644_800, lsb_first=True)
+    conv = Converter.from_container(
+        bit_depth=20, output=OutputType.FLAC, level_db=0.0, output_rate=88200,
+        out_dir=tmp_path, dither=DitherType.NJAD, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=tmp_path, input_path=src)
+    conv.do_conversion()
+    st = decode_flac((tmp_path / "tone128.flac").read_bytes())
+    assert st.md5_ok
+    assert (st.sample_rate, st.channels, st.bits_per_sample) == (88200, 2, 20)
+    x = st.samples[3000:, 0].astype(np.float64) / 2 ** 19
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.01
