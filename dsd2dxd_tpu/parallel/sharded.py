@@ -29,14 +29,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dsd2dxd_tpu.filters.design import Stage, chain_ratio
 from dsd2dxd_tpu.formats.dsd_types import DitherType
+from dsd2dxd_tpu.ops.phase import (
+    build_chain_plans,
+    chain_tile_unit_bits,
+    init_phase_hists,
+    interleave_phases,
+    plan_dense_coefs,
+    stage_apply_phase,
+    stage_apply_phase_matmul,
+    unpack_bits_phase,
+    _MATMUL_TERM_THRESHOLD,
+)
 from dsd2dxd_tpu.ops.resample import (
     StepConfig,
     _dither_noise,
     dither_float32,
     quantize_int,
-    stage_apply_streaming,
     stage_history_len,
-    unpack_bits,
 )
 
 
@@ -53,11 +62,8 @@ def chain_halo_bits(chain: Sequence[Stage]) -> int:
 
 
 def halo_bytes_for(chain: Sequence[Stage]) -> int:
-    """Halo rounded up to whole bytes and to the chain input multiple."""
-    prod_m = 1
-    for s in chain:
-        prod_m *= s.M
-    unit = math.lcm(8, prod_m)
+    """Halo rounded up to whole bytes and to the phase-chain tile unit."""
+    unit = chain_tile_unit_bits(build_chain_plans(chain))
     bits = chain_halo_bits(chain)
     return (-(-bits // unit)) * unit // 8
 
@@ -65,21 +71,33 @@ def halo_bytes_for(chain: Sequence[Stage]) -> int:
 def _tile_chain_fn(chain, cfg: StepConfig, halo_bytes: int):
     """Per-tile function: (C, halo+tile bytes) -> ((n_out, C), peak).
 
-    Processes halo+tile through the cascade with zero initial history and
-    keeps only the outputs belonging to the tile — translation invariance
-    of the FIR cascade makes them equal to the streaming outputs."""
+    Processes halo+tile through the phase-major cascade (ops/phase.py)
+    with zero initial history and keeps only the outputs belonging to the
+    tile — translation invariance of the FIR cascade makes them equal to
+    the streaming outputs."""
     ratio = chain_ratio(chain)
     dtype = jnp.dtype(cfg.dtype)
-    taps_const = tuple(jnp.asarray(s.taps, dtype=dtype) for s in chain)
+    plans = build_chain_plans(chain)
+    n_terms = [sum(len(t) for t in p.terms) for p in plans]
+    coefs = tuple(
+        (jnp.asarray(plan_dense_coefs(p), dtype=dtype)
+         if n > _MATMUL_TERM_THRESHOLD else
+         tuple(jnp.asarray([t.coef for t in terms], dtype=dtype)
+               for terms in p.terms))
+        for p, n in zip(plans, n_terms)
+    )
     n_keep = int(cfg.tile_bytes * 8 * ratio)
     gain = 10.0 ** (cfg.level_db / 20.0)
 
     def fn(x_u8, key):
-        x = unpack_bits(x_u8, dtype=dtype)
-        for stage, taps in zip(chain, taps_const):
-            hist = jnp.zeros((x.shape[0], stage_history_len(stage)),
+        x = unpack_bits_phase(x_u8, dtype=dtype)
+        for plan, cf, n in zip(plans, coefs, n_terms):
+            hist = jnp.zeros((x.shape[0], plan.p_in, plan.hist_lanes),
                              dtype=dtype)
-            x, _ = stage_apply_streaming(x, hist, stage, taps)
+            apply = (stage_apply_phase_matmul
+                     if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
+            x, _ = apply(x, hist, plan, cf)
+        x = interleave_phases(x)
         x = x[:, x.shape[1] - n_keep:]
         if gain != 1.0:
             x = x * dtype.type(gain)
@@ -183,7 +201,4 @@ def convert_stream_tiled(planes: np.ndarray, chain, cfg: StepConfig,
 
 
 def _chain_unit_bytes(chain) -> int:
-    prod_m = 1
-    for s in chain:
-        prod_m *= s.M
-    return math.lcm(8, prod_m) // 8
+    return math.lcm(8, chain_tile_unit_bits(build_chain_plans(chain))) // 8

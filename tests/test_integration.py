@@ -1,0 +1,194 @@
+"""System-level suites mirroring the reference's shell tests
+(SURVEY.md §4.1: run_all_tests.sh / test_all_44k_mults.sh /
+test_all_48k_mults.sh), upgraded from ear+smoke checks to math oracles.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from dsd2dxd_tpu.cli import dsd2dxd as cli
+from dsd2dxd_tpu.formats.dsd_types import (
+    DitherType,
+    DsdRate,
+    FilterType,
+    OutputType,
+    valid_output_rates,
+)
+from dsd2dxd_tpu.pipeline.engine import Converter
+
+RATE_HZ = {DsdRate.DSD64: 2_822_400, DsdRate.DSD128: 5_644_800,
+           DsdRate.DSD256: 11_289_600, DsdRate.DSD512: 22_579_200}
+
+
+@pytest.fixture(scope="module")
+def tone_dsf_by_rate(tmp_path_factory):
+    """Short 1 kHz stereo DSF at each DSD rate (synthesized stand-ins for
+    the stripped fixtures — SURVEY.md §4.2)."""
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    root = tmp_path_factory.mktemp("matrix")
+    paths = {}
+    for rate in DsdRate:
+        hz = RATE_HZ[rate]
+        seconds = max(0.12, 2_000_000 / hz)  # keep synthesis time bounded
+        planes = synth_tone_dsd(1000.0, seconds, hz, amplitude=0.5,
+                                channels=2)
+        p = root / f"tone_{rate.name.lower()}.dsf"
+        write_dsf(p, planes, hz, lsb_first=True)
+        paths[rate] = p
+    return paths
+
+
+ALL_CELLS = [(r, out) for r in DsdRate for out in valid_output_rates(r)]
+
+
+@pytest.mark.parametrize("in_rate,out_hz", ALL_CELLS)
+def test_rate_matrix_cell(in_rate, out_hz, tone_dsf_by_rate, tmp_path):
+    """Every cell of the SURVEY §2.5 matrix (test_all_44k_mults.sh +
+    test_all_48k_mults.sh): convert and verify rate, duration, and tone."""
+    src = tone_dsf_by_rate[in_rate]
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0, output_rate=out_hz,
+        out_dir=tmp_path, dither=DitherType.TPDF, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=src.parent, input_path=src)
+    conv.do_conversion()
+    raw = conv.output_path().read_bytes()
+    rate = struct.unpack("<I", raw[24:28])[0]
+    assert rate == out_hz
+    # data chunk
+    pos = raw.index(b"data")
+    (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+    data = raw[pos + 8:pos + 8 + size]
+    n_frames = len(data) // 6
+    in_hz = RATE_HZ[in_rate]
+    src_seconds = conv.source.info.sample_count / in_hz if False else None
+    # duration scales with the rate ratio (within one output sample)
+    from dsd2dxd_tpu.formats.dsf import open_dsf
+
+    _, meta = open_dsf(src)
+    expect = meta.sample_count * out_hz // in_hz
+    assert abs(n_frames - expect) <= 1
+    # 1 kHz tone present at correct amplitude
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16))
+    vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    x = vals.reshape(-1, 2)[:, 0].astype(np.float64) / 2 ** 23
+    skip = min(len(x) // 4, 4000)
+    x = x[skip:]
+    n = len(x)
+    X = np.abs(np.fft.rfft(x * np.hanning(n)))
+    freqs = np.fft.rfftfreq(n, 1 / out_hz)
+    assert abs(freqs[np.argmax(X)] - 1000.0) < 25.0
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.03
+
+
+def test_umbrella_stdin_plus_dir(tone_dsf_by_rate, tmp_path, monkeypatch,
+                                 capsysbinary):
+    """The run_all_tests.sh:11 umbrella line:
+    dsd2dxd -R -a -o w -f p -e l -r 88200 -p out <dir> -  < raw.dsd
+    — recursion + append-rate + WAV + output tree + stdin in ONE call."""
+    # Tree with only 88.2k-compatible inputs (the reference's test dir is
+    # DSD64/DSD128 — a DSD512 file would correctly fail-fast the batch).
+    import shutil
+
+    src_dir = tmp_path / "in"
+    (src_dir / "sub").mkdir(parents=True)
+    shutil.copy(tone_dsf_by_rate[DsdRate.DSD64], src_dir / "a64.dsf")
+    shutil.copy(tone_dsf_by_rate[DsdRate.DSD128], src_dir / "sub" / "b128.dsf")
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    # raw planar LSB stdin payload
+    from dsd2dxd_tpu.formats.dsf import open_dsf
+    from dsd2dxd_tpu.formats.source import reverse_bits
+
+    src, _ = open_dsf(tone_dsf_by_rate[DsdRate.DSD64])
+    blocks = []
+    while True:
+        p = src.read(65536)
+        if p is None:
+            break
+        blocks.append(reverse_bits(p))
+    payload = np.concatenate(blocks, axis=1)
+    pad = (-payload.shape[1]) % 4096
+    payload = np.pad(payload, ((0, 0), (0, pad)), constant_values=0x55)
+    raw = b"".join(payload[:, o:o + 4096].tobytes()
+                   for o in range(0, payload.shape[1], 4096))
+    monkeypatch.setattr("sys.stdin", io.TextIOWrapper(io.BytesIO(raw)))
+
+    rc = cli.run(["-R", "-a", "-o", "w", "-f", "p", "-e", "l",
+                  "-r", "88200", "-p", str(out_dir), str(src_dir), "-",
+                  "-q"])
+    assert rc == 0
+    # stdin lands as output_88_2K.wav in -p (reference run_all_tests.sh:11)
+    assert (out_dir / "output_88_2K.wav").exists()
+    # tree mirrored with the rate suffix
+    assert (out_dir / "a64_88_2K.wav").exists()
+    assert (out_dir / "sub" / "b128_88_2K.wav").exists()
+
+
+def test_20bit_rides_in_24bit_container(tone_dsf_by_rate, tmp_path):
+    """build_test_mono.sh's 20-bit special case: 20-bit WAV output is a
+    24-bit container with the 20 significant bits at the top."""
+    src = tone_dsf_by_rate[DsdRate.DSD64]
+    conv = Converter.from_container(
+        bit_depth=20, output=OutputType.WAV, level_db=0.0, output_rate=88200,
+        out_dir=tmp_path, dither=DitherType.TPDF, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=src.parent, input_path=src)
+    conv.do_conversion()
+    raw = conv.output_path().read_bytes()
+    fmt = struct.unpack("<HHIIHH", raw[raw.index(b"fmt ") + 8:][:16])
+    assert fmt[5] == 24  # container bits
+    pos = raw.index(b"data")
+    (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+    b = np.frombuffer(raw[pos + 8:pos + 8 + size], dtype=np.uint8)
+    # low 4 bits of every sample's low byte are zero (<<4 shift)
+    assert (b.reshape(-1, 3)[:, 0] & 0x0F).max() == 0
+
+
+def test_float_output_path(tone_dsf_by_rate, tmp_path):
+    """build_test_stereo_flt.sh: 32-bit float + Dither Float."""
+    src = tone_dsf_by_rate[DsdRate.DSD64]
+    conv = Converter.from_container(
+        bit_depth=32, output=OutputType.WAV, level_db=-3.0,
+        output_rate=176400, out_dir=tmp_path, dither=DitherType.FPD,
+        filt=FilterType.EQUIRIPPLE, append_rate=False,
+        base_dir=src.parent, input_path=src)
+    conv.do_conversion()
+    raw = conv.output_path().read_bytes()
+    fmt = struct.unpack("<HHIIHH", raw[raw.index(b"fmt ") + 8:][:16])
+    assert fmt[0] == 3 and fmt[5] == 32  # IEEE float
+    pos = raw.index(b"data")
+    (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+    x = np.frombuffer(raw[pos + 8:pos + 8 + size], dtype="<f4")
+    x = x.reshape(-1, 2)[2000:, 0].astype(np.float64)
+    rms = np.sqrt(np.mean(x ** 2))
+    expect = 0.5 * 10 ** (-3 / 20)
+    assert abs(rms * np.sqrt(2) - expect) < 0.02
+
+
+def test_peak_matches_conversion_output(tone_dsf_by_rate):
+    """Property (SURVEY §4.3): dsd_levels peak == max |sample| of the
+    float conversion at the same rate."""
+    from dsd2dxd_tpu.formats.dsd_types import Endianness, FmtType
+
+    src = tone_dsf_by_rate[DsdRate.DSD64]
+    conv = Converter.new_level_check(
+        output_rate=352800, input_path=src, fmt=FmtType.PLANAR,
+        endian=Endianness.LSB_FIRST, channels=2, block_size=4096,
+        input_rate=DsdRate.DSD64)
+    db = conv.check_level()
+    peaks = []
+    conv2 = Converter.from_container(
+        bit_depth=32, output=OutputType.STDOUT, level_db=0.0,
+        output_rate=352800, out_dir=None, dither=DitherType.NONE,
+        filt=FilterType.EQUIRIPPLE, append_rate=False,
+        base_dir=src.parent, input_path=src)
+    peak = conv2._run(None, None, lambda t: peaks.append(np.abs(t).max()))
+    assert abs(db - 20 * np.log10(max(peaks))) < 0.01
+    assert abs(peak - max(peaks)) < 1e-6
