@@ -38,13 +38,7 @@ def main(e2e: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
-    from dsd2dxd_tpu.filters.design import get_chain
     from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
-    from dsd2dxd_tpu.ops.phase import (
-        build_chain_plans,
-        init_phase_hists,
-        make_phase_step,
-    )
     from dsd2dxd_tpu.ops.resample import StepConfig
     from dsd2dxd_tpu.pipeline.transfer import (
         chunked_device_put,
@@ -52,44 +46,35 @@ def main(e2e: bool = False) -> None:
         unpack24_host,
     )
 
+    from dsd2dxd_tpu.pipeline.engine import _cached_step
+
     in_hz = DsdRate.DSD64.hz
-    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
-    plans = build_chain_plans(chain)
     tile_bytes = 16 * 1024 * 1024  # 16 MiB/ch per tile (~47.6 s of DSD64)
     cfg = StepConfig(channels=2, tile_bytes=tile_bytes, bit_depth=24,
                      dither=DitherType.TPDF, level_db=0.0)
-    inner = make_phase_step(chain, cfg, jit=False)
-
-    if e2e:
-        def full_step(x_u8, hists, key):
-            pcm, peak, hists = inner(x_u8, hists, key)
-            return pack24_device(pcm), peak, hists
-    else:
-        def full_step(x_u8, hists, key):
-            pcm, peak, hists = inner(x_u8, hists, key)
-            # digest consumes the materialized PCM; 2 scalars to host
-            return jnp.stack([jnp.sum(pcm).astype(jnp.float32),
-                              jnp.max(pcm).astype(jnp.float32)]), peak, hists
-
-    step = jax.jit(full_step)
+    # The engine's dispatched device step: the fused single-pass Pallas
+    # kernel on TPU, the XLA phase path elsewhere.
+    step, make_state = _cached_step(
+        (FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800), cfg)
+    digest = jax.jit(lambda p: jnp.stack(
+        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
 
     rng = np.random.default_rng(0)
     n_tiles = 8
     host_tiles = [rng.integers(0, 256, size=(2, tile_bytes), dtype=np.uint8)
                   for _ in range(n_tiles)]
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), n_tiles))
 
     if not e2e:
         staged = [chunked_device_put(t) for t in host_tiles]
         jax.block_until_ready(staged)
 
     def run_once() -> float:
-        hists = init_phase_hists(plans, 2)
+        state = make_state()
         t0 = time.perf_counter()
         pending = None
         for i in range(n_tiles):
             x = chunked_device_put(host_tiles[i]) if e2e else staged[i]
-            out, peak, hists = step(x, hists, keys[i])
+            out, peak, state = step(x, state, i)
             if pending is not None:
                 _consume(pending)
             pending = out
@@ -98,9 +83,9 @@ def main(e2e: bool = False) -> None:
 
     def _consume(out) -> None:
         if e2e:
-            unpack24_host(np.asarray(out))
+            unpack24_host(np.asarray(pack24_device(out)))
         else:
-            np.asarray(out)
+            np.asarray(digest(out))
 
     run_once()  # compile + warmup
     best = min(run_once() for _ in range(3))

@@ -1,0 +1,221 @@
+"""Fused Pallas kernel for the ÷8 phase cascades (the flagship path).
+
+The XLA phase-major path (ops/phase.py) materializes every stage's
+output in HBM and re-reads the stream once per tap window — ~10-15
+passes over gigabyte intermediates per tile. This kernel performs the
+whole conversion in one pass: each grid step DMAs an overlapping
+lane-block of raw DSD bytes (block + a ~40-byte halo) from HBM into
+VMEM, unpacks to the (C, 8, K) phase layout, runs the full cascade of
+s==1 sliced stages, applies level scale, TPDF/rect dither (on-core
+PRNG), quantization, and a running peak, and writes one (C, K) output
+block. HBM traffic drops to (input bytes + output samples) — the
+speed-of-light for this op.
+
+Eligibility: every stage plan must have lane_stride == 1 and the chain
+must end at p_out == 1 — true exactly for the ÷8 chains (DSD64→352.8k,
+DSD128→705.6k, DSD256→1411.2k), including BASELINE config 1. Other
+chains run the XLA phase path (whose head is the same ÷8 structure).
+
+Streaming state is the last `halo_bytes` of raw input per channel (byte
+domain, overlap-save) instead of per-stage float histories; the first
+tile is primed with the DSD idle pattern (0x69 = silence) rather than
+the float path's zero samples, so the first ~halo*8/8 output samples
+differ from the scipy oracle by design (documented; silence either way).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsd2dxd_tpu.filters.design import Stage
+from dsd2dxd_tpu.formats.dsd_types import DitherType
+from dsd2dxd_tpu.ops.phase import PhasePlan, build_chain_plans
+from dsd2dxd_tpu.ops.resample import StepConfig
+
+IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
+
+
+def fused_eligible(plans: Sequence[PhasePlan]) -> bool:
+    return (all(p.lane_stride == 1 for p in plans)
+            and plans[-1].p_out == 1
+            and plans[0].p_in == 8)
+
+
+def chain_halo_bytes(plans: Sequence[PhasePlan]) -> int:
+    """Byte halo so every stage's left context is in-block: with s==1
+    everywhere, stage j needs hist_lanes extra lanes of its input, and
+    lanes are bytes at the top of the chain. Rounded up to 128 so DMA
+    windows stay lane-tile aligned (the surplus is extra valid context)."""
+    need = sum(p.hist_lanes for p in plans)
+    return -(-need // 128) * 128
+
+
+def _tree_sum(contribs):
+    while len(contribs) > 1:
+        nxt = [a + b for a, b in zip(contribs[::2], contribs[1::2])]
+        if len(contribs) & 1:
+            nxt.append(contribs[-1])
+        contribs = nxt
+    return contribs[0]
+
+
+def _uniform01(shape):
+    """[0, 1) uniform from the on-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    return bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) + 0.5
+
+
+def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
+                  halo: int, gain: float, c_pad: int):
+    c = c_pad
+    scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
+    # lanes each stage must produce: final block + downstream halos
+    need = [block_bytes]
+    for p in reversed(list(plans)[1:]):
+        need.insert(0, need[0] + p.hist_lanes)
+    # stage-0 input rows have `halo + block` lanes; its slices sit at the
+    # right edge (halo may exceed the exact context after 128-alignment)
+    extra0 = halo - sum(p.hist_lanes for p in plans)
+
+    def kernel(seed_ref, x_hbm, out_ref, peak_ref, xb_vmem, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(i * block_bytes, halo + block_bytes)],
+            xb_vmem, sem)
+        cp.start()
+        cp.wait()
+        # Mosaic prefers flat 2D vectors: keep the stream as a LIST of
+        # per-phase (C, K) f32 arrays instead of one (C, P, K) tensor.
+        xi = xb_vmem[:, :].astype(jnp.int32)
+        rows = [((xi >> (7 - r)) & 1).astype(jnp.float32) * 2.0 - 1.0
+                for r in range(8)]
+        for j, plan in enumerate(plans):
+            h = plan.hist_lanes
+            k_out = need[j]
+            new_rows = []
+            for rho, terms in enumerate(plan.terms):
+                contribs = []
+                for t_idx, t in enumerate(terms):
+                    start = (extra0 if j == 0 else 0) + h + t.base
+                    sl = jax.lax.slice(rows[t.r_in], (0, start),
+                                       (c, start + k_out), (1, 1))
+                    contribs.append(coef_tables[j][rho][t_idx] * sl)
+                new_rows.append(_tree_sum(contribs))
+            rows = new_rows
+        y = rows[0]  # (C, block_bytes)
+        if gain != 1.0:
+            y = y * jnp.float32(gain)
+        peak = jnp.max(jnp.abs(y))
+
+        @pl.when(i == 0)
+        def _():
+            peak_ref[0, 0] = peak
+
+        @pl.when(i > 0)
+        def _():
+            peak_ref[0, 0] = jnp.maximum(peak_ref[0, 0], peak)
+
+        if cfg.bit_depth == 32:
+            out_ref[:, :] = y.astype(jnp.float32)
+            return
+        v = y * jnp.float32(scale)
+        if cfg.dither in (DitherType.TPDF, DitherType.RECTANGULAR):
+            pltpu.prng_seed(seed_ref[0] + i)
+            u1 = _uniform01((c, block_bytes))
+            if cfg.dither is DitherType.TPDF:
+                v = v + (u1 + _uniform01((c, block_bytes)) - 1.0)
+            else:
+                v = v + (u1 - 0.5)
+        out_ref[:, :] = jnp.clip(
+            jnp.round(v), -scale, scale - 1.0).astype(jnp.int32)
+
+    return kernel
+
+
+def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
+                    block_bytes: int = 16384, interpret: bool = False):
+    """Build the fused per-tile step.
+
+    step(x_u8 (C, tile_bytes), halo (C, halo_bytes) u8, seed i32) ->
+        (pcm (n_out, C), peak, new_halo)
+
+    Tile must be a multiple of block_bytes. Raises ValueError for chains
+    the kernel doesn't cover (caller falls back to ops/phase.py).
+    """
+    plans = build_chain_plans(chain)
+    if not fused_eligible(plans):
+        raise ValueError("chain not eligible for the fused /8 kernel")
+    if cfg.tile_bytes % block_bytes != 0:
+        raise ValueError(f"tile {cfg.tile_bytes} not a multiple of "
+                         f"block {block_bytes}")
+    if cfg.bit_depth != 32 and cfg.dither not in (
+            DitherType.TPDF, DitherType.RECTANGULAR, DitherType.NONE):
+        raise ValueError(f"fused kernel has no {cfg.dither} path")
+    halo = chain_halo_bytes(plans)
+    coef_tables = tuple(
+        tuple(tuple(float(t.coef) for t in terms) for terms in p.terms)
+        for p in plans
+    )
+    gain = 10.0 ** (cfg.level_db / 20.0)
+    c = cfg.channels
+    # Mosaic u8 DMA slices need the sublane dim aligned to 4; pad the
+    # channel rows (free: the VPU pads (2, K) tiles to 8 sublanes anyway).
+    c_pad = -(-c // 4) * 4
+    n_blocks = cfg.tile_bytes // block_bytes
+    out_dtype = jnp.float32 if cfg.bit_depth == 32 else jnp.int32
+    kernel = _build_kernel(plans, coef_tables, cfg, block_bytes, halo, gain,
+                           c_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # (C, halo+tile) in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((c_pad, block_bytes), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, halo + block_bytes), jnp.uint8),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, cfg.tile_bytes), out_dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def step(x_u8, halo_in, seed):
+        xin = jnp.concatenate([halo_in, x_u8], axis=1)
+        if c_pad != c:
+            pad = jnp.full((c_pad - c, xin.shape[1]), IDLE_BYTE,
+                           dtype=jnp.uint8)
+            xin_k = jnp.concatenate([xin, pad], axis=0)
+        else:
+            xin_k = xin
+        out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
+        new_halo = xin[:, xin.shape[1] - halo:]
+        return out[:c].T, peak[0, 0], new_halo
+
+    return jax.jit(step), halo
+
+
+def init_fused_halo(chain: Sequence[Stage], channels: int) -> np.ndarray:
+    plans = build_chain_plans(chain)
+    return np.full((channels, chain_halo_bytes(plans)), IDLE_BYTE,
+                   dtype=np.uint8)
