@@ -42,7 +42,9 @@ IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
 
 
 def fused_eligible(plans: Sequence[PhasePlan]) -> bool:
-    return (all(p.lane_stride == 1 for p in plans)
+    # rephasing (reshape+transpose) isn't expressible in the kernel, so
+    # only natural stride-1 chains qualify: the ÷8 family
+    return (all(p.rephase == 1 for p in plans)
             and plans[-1].p_out == 1
             and plans[0].p_in == 8)
 

@@ -59,15 +59,24 @@ class PhaseTerm:
 
 @dataclass(frozen=True)
 class PhasePlan:
-    """Static slicing plan for one stage in phase-major layout."""
+    """Static slicing plan for one stage in phase-major layout.
+
+    Stages are always stride-1: when the minimal phase decomposition
+    would need a lane stride s > 1 (any stage where the cumulative
+    decimation exceeds the phase count — deep ÷2^k tails, the ÷7 stage,
+    rational stages), the plan instead declares p_in = Δi and the input
+    is *rephased* (one reshape+transpose, see `rephase`) — strided
+    gathers never appear anywhere in the pipeline.
+    """
 
     L: int
     M: int
     p_in: int
     p_out: int
-    lane_stride: int                       # s = (M*p_out/L)/p_in
+    lane_stride: int                       # always 1 after rephasing
     terms: tuple[tuple[PhaseTerm, ...], ...]  # per output phase
     hist_lanes: int                        # history H along the lane axis
+    rephase: int = 1                       # input phase multiplier applied
 
     @property
     def delta_i(self) -> int:
@@ -82,6 +91,16 @@ def build_plan(stage: Stage, p_in: int) -> PhasePlan:
     delta_i = M * p_out // L
     assert delta_i % p_in == 0
     s = delta_i // p_in
+    rephase_factor = 1
+    if s > 1:
+        # upgrade the input phase count so the stage is stride-1:
+        # p_in' = p_in*s gives delta_i' = p_in' (verified identity)
+        rephase_factor = s
+        p_in = p_in * s
+        p_out = L * p_in // math.gcd(M, L * p_in)
+        delta_i = M * p_out // L
+        assert delta_i == p_in, (delta_i, p_in)
+        s = 1
     terms: list[tuple[PhaseTerm, ...]] = []
     min_base = 0
     for rho in range(p_out):
@@ -97,7 +116,8 @@ def build_plan(stage: Stage, p_in: int) -> PhasePlan:
         terms.append(tuple(tl))
     hist = -min_base
     return PhasePlan(L=L, M=M, p_in=p_in, p_out=p_out, lane_stride=s,
-                     terms=tuple(terms), hist_lanes=hist)
+                     terms=tuple(terms), hist_lanes=hist,
+                     rephase=rephase_factor)
 
 
 def build_chain_plans(chain: Sequence[Stage], p0: int = 8) -> tuple[PhasePlan, ...]:
@@ -105,9 +125,22 @@ def build_chain_plans(chain: Sequence[Stage], p0: int = 8) -> tuple[PhasePlan, .
     p = p0
     for stage in chain:
         plan = build_plan(stage, p)
+        assert plan.p_in == p * plan.rephase
         plans.append(plan)
         p = plan.p_out
     return tuple(plans)
+
+
+def rephase(x: jax.Array, s: int) -> jax.Array:
+    """(C, p, K) -> (C, p*s, K/s): stream index i = p*k + r moves to
+    [i mod p*s, i div p*s] — new phase = p*(k mod s) + r."""
+    if s == 1:
+        return x
+    c, p, k = x.shape
+    assert k % s == 0, (k, s)
+    return (x.reshape(c, p, k // s, s)
+            .transpose(0, 3, 1, 2)
+            .reshape(c, p * s, k // s))
 
 
 def chain_tile_unit_bits(plans: Sequence[PhasePlan]) -> int:
@@ -143,7 +176,9 @@ def stage_apply_phase(x: jax.Array, hist: jax.Array, plan: PhasePlan,
     vector for plan.terms[rho] (passed in so dtype/device placement is
     decided once by the caller).
     """
+    x = rephase(x, plan.rephase)
     c, p_in, k_in = x.shape
+    assert p_in == plan.p_in
     H = plan.hist_lanes
     s = plan.lane_stride
     n_in = k_in * p_in
@@ -202,6 +237,7 @@ def stage_apply_phase_matmul(x: jax.Array, hist: jax.Array, plan: PhasePlan,
     MXU: out[c, rho, kappa] = sum_{r,w} g[rho, r, w] * xin[c, r,
     kappa*s + base_min + w]. Work is p_in*W/terms-per-output denser than
     minimal but runs on the systolic array."""
+    x = rephase(x, plan.rephase)
     c, p_in, k_in = x.shape
     H = plan.hist_lanes
     s = plan.lane_stride

@@ -56,7 +56,8 @@ def test_phase_plan_matches_upfirdn(L, M, n, p0):
     ref = upfirdn_reference(taps, x, L, M)
     coefs = tuple(jnp.asarray([t.coef for t in terms], dtype=jnp.float32)
                   for terms in plan.terms)
-    hist = jnp.zeros((2, p0, plan.hist_lanes), dtype=jnp.float32)
+    # hist lives in the plan's (possibly rephased) input layout
+    hist = jnp.zeros((2, plan.p_in, plan.hist_lanes), dtype=jnp.float32)
     outs = []
     for t in range(3):
         xt = x[:, t * S:(t + 1) * S].reshape(2, -1, p0).transpose(0, 2, 1)
@@ -81,7 +82,7 @@ def test_matmul_form_matches_sliced_form():
     S = math.lcm(plan.p_in, plan.delta_i) * 24
     x = rng.standard_normal((2, S)).astype(np.float32)
     xt = jnp.asarray(x.reshape(2, -1, 8).transpose(0, 2, 1))
-    hist = jnp.zeros((2, 8, plan.hist_lanes), dtype=jnp.float32)
+    hist = jnp.zeros((2, plan.p_in, plan.hist_lanes), dtype=jnp.float32)
     coefs = tuple(jnp.asarray([t.coef for t in terms], dtype=jnp.float32)
                   for terms in plan.terms)
     y1, h1 = stage_apply_phase(xt, hist, plan, coefs)
