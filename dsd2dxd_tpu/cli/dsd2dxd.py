@@ -48,7 +48,7 @@ from dsd2dxd_tpu.formats.dsd_types import (
 )
 from dsd2dxd_tpu.pipeline.engine import Converter
 from dsd2dxd_tpu.utils.errors import Dsd2DxdError
-from dsd2dxd_tpu.utils.logging import get_logger, init_logging
+from dsd2dxd_tpu.utils.logging import init_logging
 
 from dsd2dxd_tpu.cli.progress import MultiProgress, ProgressAwareHandler
 

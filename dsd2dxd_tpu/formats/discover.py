@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 from dsd2dxd_tpu.formats.dsd_types import DSD_EXTENSIONS, OutputType
 

@@ -13,7 +13,7 @@ memory-bound and negligible next to the device pipeline.
 from __future__ import annotations
 
 import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import BinaryIO, Optional
 
 import numpy as np

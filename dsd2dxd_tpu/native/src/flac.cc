@@ -30,54 +30,79 @@ namespace {
 class BitWriter {
  public:
   std::vector<uint8_t> buf;
-  uint64_t acc = 0;
+  uint64_t acc = 0;  // bits pending, left-aligned semantics via nbits
   int nbits = 0;
 
-  void put(uint32_t value, int bits) {
-    acc = (acc << bits) | (uint64_t(value) & ((bits == 32) ? 0xFFFFFFFFull
-                                                           : ((1ull << bits) - 1)));
-    nbits += bits;
+  inline void flush_bytes() {
     while (nbits >= 8) {
       nbits -= 8;
       buf.push_back(uint8_t(acc >> nbits));
     }
   }
 
-  void put_signed(int32_t value, int bits) { put(uint32_t(value), bits); }
+  inline void put(uint32_t value, int bits) {
+    // fast path: stays within the 64-bit accumulator
+    if (nbits + bits > 57) flush_bytes();
+    acc = (acc << bits) | (uint64_t(value) & ((bits >= 32) ? 0xFFFFFFFFull
+                                                           : ((1ull << bits) - 1)));
+    nbits += bits;
+    if (nbits >= 32) flush_bytes();
+  }
 
-  void put_unary(uint32_t q) {
-    while (q >= 32) { put(0, 32); q -= 32; }
-    // q zero bits then a one
+  inline void put_signed(int32_t value, int bits) { put(uint32_t(value), bits); }
+
+  inline void put_unary(uint32_t q) {
+    while (q >= 24) { put(0, 24); q -= 24; }
     put(1, int(q) + 1);
   }
 
   void align_byte() {
+    flush_bytes();
     if (nbits) put(0, 8 - nbits);
+    flush_bytes();
   }
-
-  size_t bit_length() const { return buf.size() * 8 + nbits; }
 };
 
 // ---------------------------------------------------------------------------
 // CRCs + MD5
 // ---------------------------------------------------------------------------
 
-uint8_t crc8(const uint8_t* d, size_t n) {
-  uint8_t c = 0;
-  for (size_t i = 0; i < n; ++i) {
-    c ^= d[i];
-    for (int b = 0; b < 8; ++b) c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+struct Crc8Table {
+  uint8_t t[256];
+  Crc8Table() {
+    for (int v = 0; v < 256; ++v) {
+      uint8_t c = uint8_t(v);
+      for (int b = 0; b < 8; ++b)
+        c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+      t[v] = c;
+    }
   }
+};
+
+struct Crc16Table {
+  uint16_t t[256];
+  Crc16Table() {
+    for (int v = 0; v < 256; ++v) {
+      uint16_t c = uint16_t(v) << 8;
+      for (int b = 0; b < 8; ++b)
+        c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
+      t[v] = c;
+    }
+  }
+};
+
+uint8_t crc8(const uint8_t* d, size_t n) {
+  static const Crc8Table tbl;
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) c = tbl.t[c ^ d[i]];
   return c;
 }
 
 uint16_t crc16(const uint8_t* d, size_t n) {
+  static const Crc16Table tbl;
   uint16_t c = 0;
-  for (size_t i = 0; i < n; ++i) {
-    c ^= uint16_t(d[i]) << 8;
-    for (int b = 0; b < 8; ++b)
-      c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
-  }
+  for (size_t i = 0; i < n; ++i)
+    c = uint16_t((c << 8) ^ tbl.t[(c >> 8) ^ d[i]]);
   return c;
 }
 
@@ -164,74 +189,98 @@ inline uint32_t zigzag(int32_t v) {
   return (uint32_t(v) << 1) ^ uint32_t(v >> 31);
 }
 
-uint64_t rice_cost(const int32_t* res, size_t n, int k) {
-  uint64_t bits = 0;
-  for (size_t i = 0; i < n; ++i) bits += (zigzag(res[i]) >> k);
-  return bits + n * (uint64_t(k) + 1);
-}
-
-int best_rice_param(const int32_t* res, size_t n) {
-  if (n == 0) return 0;
-  uint64_t sum = 0;
-  for (size_t i = 0; i < n; ++i) sum += zigzag(res[i]);
-  // start near log2(mean), then refine locally
+// Rice parameter from a partition's zigzag sum (libFLAC-style estimate:
+// k ~= log2(mean); encode cost estimated as n*(k+1) + (sum >> k)).
+int param_for_sum(uint64_t sum, uint64_t n) {
+  if (n == 0 || sum <= n) return 0;
   int k = 0;
-  uint64_t mean = sum / n;
-  while ((1ull << (k + 1)) < mean + 1 && k < 30) ++k;
-  uint64_t best = rice_cost(res, n, k);
-  while (k > 0 && rice_cost(res, n, k - 1) < best) { --k; best = rice_cost(res, n, k); }
-  while (k < 30 && rice_cost(res, n, k + 1) < best) { ++k; best = rice_cost(res, n, k); }
+  while (k < 30 && (n << (k + 1)) < sum) ++k;
   return k;
 }
 
-void write_rice(BitWriter& bw, const int32_t* res, size_t n, int k) {
-  for (size_t i = 0; i < n; ++i) {
-    uint32_t u = zigzag(res[i]);
-    bw.put_unary(u >> k);
-    if (k) bw.put(u & ((1u << k) - 1), k);
+uint64_t est_cost(uint64_t sum, uint64_t n, int k) {
+  return n * (uint64_t(k) + 1) + (sum >> k);
+}
+
+void write_rice(BitWriter& bw, const uint32_t* z, size_t n, int k) {
+  if (k) {
+    uint32_t mask = (1u << k) - 1;
+    for (size_t i = 0; i < n; ++i) {
+      bw.put_unary(z[i] >> k);
+      bw.put(z[i] & mask, k);
+    }
+  } else {
+    for (size_t i = 0; i < n; ++i) bw.put_unary(z[i]);
   }
 }
 
 // Residual block: partitioned Rice, method 0 (4-bit params) or 1 (5-bit).
+// ONE pass computes zigzags + finest partition sums; coarser orders merge
+// pairwise; parameters come from the sums (no per-k rescans).
 void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
                     int pred_order) {
-  // choose partition order: block_size must be divisible by 2^po and
-  // partitions after the first must have > pred_order samples.
   int max_po = 0;
   while (max_po < 6 && (block_size % (1u << (max_po + 1))) == 0 &&
          (block_size >> (max_po + 1)) > uint32_t(pred_order))
     ++max_po;
-  // evaluate cost for each partition order, pick the cheapest
-  int best_po = 0;
-  uint64_t best_cost = ~0ull;
-  std::vector<int> best_params;
-  for (int po = 0; po <= max_po; ++po) {
-    uint32_t parts = 1u << po;
-    uint64_t cost = 0;
-    std::vector<int> params(parts);
+  size_t n_res = block_size - pred_order;
+  std::vector<uint32_t> z(n_res);
+  uint32_t parts_max = 1u << max_po;
+  size_t cnt_min = block_size / parts_max;
+  std::vector<uint64_t> sums(parts_max, 0);
+  {
     size_t idx = 0;
-    bool ok = true;
-    for (uint32_t p = 0; p < parts; ++p) {
-      size_t cnt = block_size / parts - (p == 0 ? pred_order : 0);
-      if (int64_t(cnt) <= 0 || block_size / parts <= uint32_t(pred_order) && p == 0) { ok = false; break; }
-      int k = best_rice_param(res + idx, cnt);
-      params[p] = k;
-      cost += rice_cost(res + idx, cnt, k) + 4;
-      idx += cnt;
+    for (uint32_t p = 0; p < parts_max; ++p) {
+      size_t cnt = cnt_min - (p == 0 ? pred_order : 0);
+      uint64_t s = 0;
+      for (size_t i = 0; i < cnt; ++i) {
+        uint32_t u = zigzag(res[idx]);
+        z[idx] = u;
+        s += u;
+        ++idx;
+      }
+      sums[p] = s;
     }
-    if (ok && cost < best_cost) { best_cost = cost; best_po = po; best_params = params; }
   }
+  // pick the partition order with the lowest estimated cost
+  int best_po = max_po;
+  uint64_t best_cost = ~0ull;
+  std::vector<uint64_t> level = sums;
+  std::vector<std::vector<uint64_t>> levels(max_po + 1);
+  levels[max_po] = sums;
+  for (int po = max_po - 1; po >= 0; --po) {
+    std::vector<uint64_t> merged(1u << po);
+    for (size_t p = 0; p < merged.size(); ++p)
+      merged[p] = levels[po + 1][2 * p] + levels[po + 1][2 * p + 1];
+    levels[po] = merged;
+  }
+  for (int po = 0; po <= max_po; ++po) {
+    uint64_t cost = 0;
+    uint32_t parts = 1u << po;
+    size_t cnt = block_size / parts;
+    for (uint32_t p = 0; p < parts; ++p) {
+      uint64_t c = cnt - (p == 0 ? pred_order : 0);
+      cost += est_cost(levels[po][p], c, param_for_sum(levels[po][p], c)) + 4;
+    }
+    if (cost < best_cost) { best_cost = cost; best_po = po; }
+  }
+  uint32_t parts = 1u << best_po;
+  size_t cnt_full = block_size / parts;
+  std::vector<int> params(parts);
   bool five_bit = false;
-  for (int k : best_params) five_bit |= (k > 14);
+  for (uint32_t p = 0; p < parts; ++p) {
+    uint64_t c = cnt_full - (p == 0 ? pred_order : 0);
+    params[p] = param_for_sum(levels[best_po][p], c);
+    five_bit |= (params[p] > 14);
+  }
   bw.put(five_bit ? 1 : 0, 2);  // residual coding method
   bw.put(uint32_t(best_po), 4);
-  uint32_t parts = 1u << best_po;
   size_t idx = 0;
   int pbits = five_bit ? 5 : 4;
   for (uint32_t p = 0; p < parts; ++p) {
-    size_t cnt = block_size / parts - (p == 0 ? pred_order : 0);
-    bw.put(uint32_t(best_params[p]), pbits);
-    write_rice(bw, res + idx, cnt, best_params[p]);
+    size_t cnt = cnt_full - (p == 0 ? pred_order : 0);
+    bw.put(uint32_t(params[p]), pbits);
+    write_rice(bw, z.data() + idx, cnt, params[p]);
     idx += cnt;
   }
 }
@@ -245,6 +294,25 @@ uint64_t abs_residual_sum(const std::vector<int32_t>& r, size_t from) {
   for (size_t i = from; i < r.size(); ++i)
     s += uint64_t(r[i] < 0 ? -int64_t(r[i]) : int64_t(r[i]));
   return s;
+}
+
+// One pass: |residual| sums for fixed orders 0..4 via running differences.
+void fixed_order_sums(const int32_t* x, size_t n, uint64_t out[5]) {
+  for (int o = 0; o < 5; ++o) out[o] = 0;
+  int64_t p1 = 0, p2 = 0, p3 = 0, p4 = 0;  // previous difference values
+  for (size_t i = 0; i < n; ++i) {
+    int64_t d0 = x[i];
+    int64_t d1 = d0 - p1;
+    int64_t d2 = d1 - p2;
+    int64_t d3 = d2 - p3;
+    int64_t d4 = d3 - p4;
+    if (i >= 1) out[1] += uint64_t(d1 < 0 ? -d1 : d1);
+    if (i >= 2) out[2] += uint64_t(d2 < 0 ? -d2 : d2);
+    if (i >= 3) out[3] += uint64_t(d3 < 0 ? -d3 : d3);
+    if (i >= 4) out[4] += uint64_t(d4 < 0 ? -d4 : d4);
+    out[0] += uint64_t(d0 < 0 ? -d0 : d0);
+    p4 = d3; p3 = d2; p2 = d1; p1 = d0;
+  }
 }
 
 // Fixed-predictor residuals, order 0..4 (in place over a copy).
@@ -278,21 +346,34 @@ struct LpcModel {
   bool ok = false;
 };
 
+// Cached Tukey(0.5) window (depends only on the block length).
+const std::vector<double>& tukey_window(size_t n) {
+  static thread_local std::vector<double> cache;
+  static thread_local size_t cached_n = 0;
+  if (cached_n != n) {
+    cache.resize(n);
+    size_t taper = n / 4;
+    for (size_t i = 0; i < n; ++i) {
+      double win = 1.0;
+      if (i < taper)
+        win = 0.5 * (1.0 + cos(3.14159265358979323846 *
+                               (double(i) / taper - 1.0)));
+      else if (i >= n - taper)
+        win = 0.5 * (1.0 + cos(3.14159265358979323846 *
+                               (double(i - (n - taper)) / taper)));
+      cache[i] = win;
+    }
+    cached_n = n;
+  }
+  return cache;
+}
+
 LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order) {
   LpcModel m;
   if (n < size_t(max_order) * 2) return m;
-  // Tukey(0.5) window + autocorrelation
+  const std::vector<double>& win = tukey_window(n);
   std::vector<double> w(n);
-  size_t taper = n / 4;
-  for (size_t i = 0; i < n; ++i) {
-    double win = 1.0;
-    if (i < taper)
-      win = 0.5 * (1.0 + cos(3.14159265358979323846 * (double(i) / taper - 1.0)));
-    else if (i >= n - taper)
-      win = 0.5 * (1.0 + cos(3.14159265358979323846 *
-                             (double(i - (n - taper)) / taper)));
-    w[i] = double(x[i]) * win;
-  }
+  for (size_t i = 0; i < n; ++i) w[i] = double(x[i]) * win[i];
   double ac[33] = {0};
   for (int lag = 0; lag <= max_order; ++lag) {
     double s = 0;
@@ -362,15 +443,16 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
     bw.put_signed(x[0], bps);
     return;
   }
-  // choose fixed order by min abs residual sum
-  std::vector<int32_t> res(n), best_res(n);
+  // choose fixed order by min abs residual sum (single pass)
+  uint64_t sums[5];
+  fixed_order_sums(x, n, sums);
   int best_order = 0;
-  uint64_t best_sum = ~0ull;
-  for (int order = 0; order <= 4 && size_t(order) < n; ++order) {
-    fixed_residual(x, n, order, res.data());
-    uint64_t s = abs_residual_sum(res, order);
-    if (s < best_sum) { best_sum = s; best_order = order; best_res = res; }
+  uint64_t best_sum = sums[0];
+  for (int order = 1; order <= 4 && size_t(order) < n; ++order) {
+    if (sums[order] < best_sum) { best_sum = sums[order]; best_order = order; }
   }
+  std::vector<int32_t> best_res(n);
+  fixed_residual(x, n, best_order, best_res.data());
   // LPC candidate
   LpcModel lpc = lpc_analyze(x, n, 8);
   bool use_lpc = false;
@@ -466,12 +548,29 @@ struct Encoder {
       for (size_t b = 0; b < bytes_per; ++b) raw[o++] = uint8_t(v >> (8 * b));
     }
     md5.update(raw.data(), raw.size());
-    pend.insert(pend.end(), samples, samples + n_frames * channels);
     total_samples += n_frames;
-    while (pend.size() >= size_t(block_size) * channels) {
-      encode_block(pend.data(), block_size);
-      pend.erase(pend.begin(), pend.begin() + size_t(block_size) * channels);
+    // encode straight from the caller's buffer; only the sub-block
+    // remainder is staged (no O(n^2) buffer shuffling)
+    const int32_t* p = samples;
+    size_t left = n_frames;
+    size_t bs_vals = size_t(block_size) * channels;
+    if (!pend.empty()) {
+      size_t have = pend.size() / channels;
+      size_t take = std::min(size_t(block_size) - have, left);
+      pend.insert(pend.end(), p, p + take * channels);
+      p += take * channels;
+      left -= take;
+      if (pend.size() == bs_vals) {
+        encode_block(pend.data(), block_size);
+        pend.clear();
+      }
     }
+    while (left >= block_size) {
+      encode_block(p, block_size);
+      p += bs_vals;
+      left -= block_size;
+    }
+    if (left) pend.insert(pend.end(), p, p + left * channels);
   }
 
   void finish() {
@@ -496,11 +595,11 @@ struct Encoder {
         mid[i] = (ch[0][i] + ch[1][i]) >> 1;
         side[i] = ch[0][i] - ch[1][i];
       }
-      // order-2 abs-sum heuristic for channel mode choice
+      // order-2 abs-sum heuristic for channel mode choice (single pass)
       auto cost = [&](const std::vector<int32_t>& v) {
-        std::vector<int32_t> r(v.size());
-        fixed_residual(v.data(), v.size(), 2, r.data());
-        return abs_residual_sum(r, 2);
+        uint64_t s[5];
+        fixed_order_sums(v.data(), v.size(), s);
+        return s[2];
       };
       uint64_t cl = cost(ch[0]), cr = cost(ch[1]), cm = cost(mid), cs = cost(side);
       uint64_t independent = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;

@@ -19,13 +19,12 @@ communication in the system — a scalar).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dsd2dxd_tpu.filters.design import Stage, chain_ratio
 from dsd2dxd_tpu.formats.dsd_types import DitherType

@@ -245,10 +245,13 @@ class Converter:
         ``sink`` receives (frames, channels) int32/float32 tiles; None for
         level-check mode.
         """
+        import time
+
         from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
         from dsd2dxd_tpu.ops.resample import StepConfig
-        import jax
+        from dsd2dxd_tpu.utils.logging import TRACE, get_logger
 
+        t_start = time.perf_counter()
         info = self.source.info
         chain_key = (self.filt, info.rate, self.output_rate)
         chain = get_chain(*chain_key)
@@ -310,6 +313,16 @@ class Converter:
             peak = self._drain(pending, sink, peak)
         if progress is not None:
             progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
+        # per-file throughput trace (the reference reports only batch
+        # wall-clock — SURVEY.md §5 tracing row asks for per-stream xRT)
+        elapsed = time.perf_counter() - t_start
+        audio_s = valid_bits / info.rate.hz
+        if elapsed > 0 and audio_s > 0:
+            get_logger().log(
+                TRACE,
+                f"{self.file_name()}: {audio_s:.1f}s audio in {elapsed:.2f}s "
+                f"({audio_s / elapsed:.0f}x real-time, "
+                f"{consumed * info.channels / elapsed / 2**20:.1f} MiB/s DSD in)")
         return peak
 
     @staticmethod
