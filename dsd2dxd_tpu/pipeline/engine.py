@@ -245,85 +245,97 @@ class Converter:
         ``sink`` receives (frames, channels) int32/float32 tiles; None for
         level-check mode.
         """
+        import contextlib
+        import os
         import time
 
         from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
         from dsd2dxd_tpu.ops.resample import StepConfig
         from dsd2dxd_tpu.utils.logging import TRACE, get_logger
 
-        t_start = time.perf_counter()
-        info = self.source.info
-        chain_key = (self.filt, info.rate, self.output_rate)
-        chain = get_chain(*chain_key)
-        ratio = chain_ratio(chain)
-        tile_bytes = _tile_bytes_for(chain, self.tile_target_bytes)
-        # NJAD is a sequential host-side requantizer (native/src/njad.cc):
-        # the device step emits float PCM, the sink quantizes.
-        float_out = (self.level_check_only
-                     or self.dither is DitherType.NJAD
-                     or self.bit_depth == 32)
-        cfg = StepConfig(
-            channels=info.channels,
-            tile_bytes=tile_bytes,
-            bit_depth=32 if float_out else self.bit_depth,
-            dither=(DitherType.NONE
-                    if self.level_check_only or self.dither is DitherType.NJAD
-                    else self.dither),
-            level_db=self.level_db,
-        )
-        step, make_state = _cached_step(chain_key, cfg)
-        state = make_state()
+        # Device-profiling hook (SURVEY.md §5 tracing row): set
+        # DSD2DXD_PROFILE_DIR to capture a jax.profiler trace per stream.
+        prof_dir = os.environ.get("DSD2DXD_PROFILE_DIR")
+        if prof_dir:
+            import jax
 
-        total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
-        consumed = 0
-        valid_bits = 0
-        emitted = 0
-        peak = 0.0
-        pending = None  # (device_out, n_valid) one-deep pipeline
-        tile_idx = 0
+            prof_ctx = jax.profiler.trace(prof_dir)
+        else:
+            prof_ctx = contextlib.nullcontext()
+        with prof_ctx:
+            t_start = time.perf_counter()
+            info = self.source.info
+            chain_key = (self.filt, info.rate, self.output_rate)
+            chain = get_chain(*chain_key)
+            ratio = chain_ratio(chain)
+            tile_bytes = _tile_bytes_for(chain, self.tile_target_bytes)
+            # NJAD is a sequential host-side requantizer (native/src/njad.cc):
+            # the device step emits float PCM, the sink quantizes.
+            float_out = (self.level_check_only
+                         or self.dither is DitherType.NJAD
+                         or self.bit_depth == 32)
+            cfg = StepConfig(
+                channels=info.channels,
+                tile_bytes=tile_bytes,
+                bit_depth=32 if float_out else self.bit_depth,
+                dither=(DitherType.NONE
+                        if self.level_check_only or self.dither is DitherType.NJAD
+                        else self.dither),
+                level_db=self.level_db,
+            )
+            step, make_state = _cached_step(chain_key, cfg)
+            state = make_state()
 
-        while True:
-            if cancel is not None and cancel():
-                raise CancelledError("Conversion canceled")
-            planes = self.source.read(tile_bytes)
-            if planes is None:
-                break
-            got = planes.shape[1]
-            consumed += got
-            valid_bits += got * 8
-            if got < tile_bytes:
-                pad = np.full((info.channels, tile_bytes - got), 0x69,
-                              dtype=np.uint8)  # DSD idle pattern, not DC
-                planes = np.concatenate([planes, pad], axis=1)
-            n_total = int(valid_bits * ratio)
-            n_valid = n_total - emitted
-            emitted = n_total
-            from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+            total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
+            consumed = 0
+            valid_bits = 0
+            emitted = 0
+            peak = 0.0
+            pending = None  # (device_out, n_valid) one-deep pipeline
+            tile_idx = 0
 
-            out, tile_peak, state = step(
-                chunked_device_put(planes), state, tile_idx)
-            tile_idx += 1
+            while True:
+                if cancel is not None and cancel():
+                    raise CancelledError("Conversion canceled")
+                planes = self.source.read(tile_bytes)
+                if planes is None:
+                    break
+                got = planes.shape[1]
+                consumed += got
+                valid_bits += got * 8
+                if got < tile_bytes:
+                    pad = np.full((info.channels, tile_bytes - got), 0x69,
+                                  dtype=np.uint8)  # DSD idle pattern, not DC
+                    planes = np.concatenate([planes, pad], axis=1)
+                n_total = int(valid_bits * ratio)
+                n_valid = n_total - emitted
+                emitted = n_total
+                from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
+                out, tile_peak, state = step(
+                    chunked_device_put(planes), state, tile_idx)
+                tile_idx += 1
+                if pending is not None:
+                    peak = self._drain(pending, sink, peak)
+                pending = (out, tile_peak, n_valid)
+                if progress is not None and total_bytes:
+                    pct = min(100.0 * consumed / total_bytes, ONE_HUNDRED_PERCENT)
+                    progress(ProgressUpdate(percent=pct))
             if pending is not None:
                 peak = self._drain(pending, sink, peak)
-            pending = (out, tile_peak, n_valid)
-            if progress is not None and total_bytes:
-                pct = min(100.0 * consumed / total_bytes, ONE_HUNDRED_PERCENT)
-                progress(ProgressUpdate(percent=pct))
-        if pending is not None:
-            peak = self._drain(pending, sink, peak)
-        if progress is not None:
-            progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
-        # per-file throughput trace (the reference reports only batch
-        # wall-clock — SURVEY.md §5 tracing row asks for per-stream xRT)
-        elapsed = time.perf_counter() - t_start
-        audio_s = valid_bits / info.rate.hz
-        if elapsed > 0 and audio_s > 0:
-            get_logger().log(
-                TRACE,
-                f"{self.file_name()}: {audio_s:.1f}s audio in {elapsed:.2f}s "
-                f"({audio_s / elapsed:.0f}x real-time, "
-                f"{consumed * info.channels / elapsed / 2**20:.1f} MiB/s DSD in)")
-        return peak
+            if progress is not None:
+                progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
+            # per-file throughput trace (the reference reports only batch
+            # wall-clock — SURVEY.md §5 tracing row asks for per-stream xRT)
+            elapsed = time.perf_counter() - t_start
+            audio_s = valid_bits / info.rate.hz
+            if elapsed > 0 and audio_s > 0:
+                get_logger().log(
+                    TRACE,
+                    f"{self.file_name()}: {audio_s:.1f}s audio in {elapsed:.2f}s "
+                    f"({audio_s / elapsed:.0f}x real-time, "
+                    f"{consumed * info.channels / elapsed / 2**20:.1f} MiB/s DSD in)")
+            return peak
 
     @staticmethod
     def _drain(pending, sink, peak: float) -> float:

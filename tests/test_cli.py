@@ -148,3 +148,29 @@ def test_dsd_levels_cli(tone_dir, capsys):
     assert "Highest peak level:" in err
     db = float(err.split("Highest peak level:")[1].split("dBFS")[0])
     assert -7.0 < db < -4.0
+
+
+def test_dsd_levels_stdin(tone_dir, monkeypatch, capsys):
+    """dsd_levels '-' reads stdin (reference dsd_levels/main.rs:129-134)."""
+    import io
+
+    from dsd2dxd_tpu.formats.dsf import open_dsf
+    from dsd2dxd_tpu.formats.source import reverse_bits
+
+    src, _ = open_dsf(tone_dir / "a.dsf")
+    blocks = []
+    while True:
+        p = src.read(65536)
+        if p is None:
+            break
+        blocks.append(reverse_bits(p))
+    payload = np.concatenate(blocks, axis=1)
+    pad = (-payload.shape[1]) % 4096
+    payload = np.pad(payload, ((0, 0), (0, pad)), constant_values=0x55)
+    raw = b"".join(payload[:, o:o + 4096].tobytes()
+                   for o in range(0, payload.shape[1], 4096))
+    monkeypatch.setattr("sys.stdin", io.TextIOWrapper(io.BytesIO(raw)))
+    rc = levels_cli.run(["-f", "P", "-e", "L", "-c", "2", "-q", "-"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "stdin: peak level =" in err
