@@ -141,14 +141,17 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
 
 
 def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
-                    block_bytes: int = 16384, interpret: bool = False):
+                    block_bytes: int = 16384, interpret: bool = False,
+                    jit: bool = True, transpose: bool = True):
     """Build the fused per-tile step.
 
     step(x_u8 (C, tile_bytes), halo (C, halo_bytes) u8, seed i32) ->
-        (pcm (n_out, C), peak, new_halo)
+        (pcm (n_out, C) — or (C, n_out) with transpose=False —, peak,
+        new_halo)
 
     Tile must be a multiple of block_bytes. Raises ValueError for chains
-    the kernel doesn't cover (caller falls back to ops/phase.py).
+    the kernel doesn't cover (caller falls back to ops/phase.py or the
+    hybrid head+tail step below).
     """
     plans = build_chain_plans(chain)
     if not fused_eligible(plans):
@@ -202,7 +205,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         interpret=interpret,
     )
 
-    def step(x_u8, halo_in, seed):
+    def step(x_u8, halo_in, seed, *, _transpose=transpose):
         xin = jnp.concatenate([halo_in, x_u8], axis=1)
         if c_pad != c:
             pad = jnp.full((c_pad - c, xin.shape[1]), IDLE_BYTE,
@@ -212,12 +215,106 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             xin_k = xin
         out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
         new_halo = xin[:, xin.shape[1] - halo:]
-        return out[:c].T, peak[0, 0], new_halo
+        pcm = out[:c].T if _transpose else out[:c]
+        return pcm, peak[0, 0], new_halo
 
-    return jax.jit(step), halo
+    return (jax.jit(step) if jit else step), halo
 
 
 def init_fused_halo(chain: Sequence[Stage], channels: int) -> np.ndarray:
     plans = build_chain_plans(chain)
     return np.full((channels, chain_halo_bytes(plans)), IDLE_BYTE,
                    dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid: fused ÷8 head kernel + XLA phase-path tail
+# ---------------------------------------------------------------------------
+
+
+def hybrid_split(chain: Sequence[Stage]) -> int:
+    """Length of the fused-head prefix: the natural ÷8 head (three ÷2
+    stages taking the bit phases 8 -> 4 -> 2 -> 1). Returns 0 when the
+    chain has no such prefix (48k chains start with ÷7)."""
+    plans = build_chain_plans(chain)
+    n = 0
+    p = 8
+    for plan in plans:
+        if plan.rephase != 1 or plan.L != 1:
+            break
+        n += 1
+        p = plan.p_out
+        if p == 1:
+            return n
+    return 0
+
+
+def make_hybrid_step(chain: Sequence[Stage], cfg: StepConfig,
+                     block_bytes: int = 16384, interpret: bool = False):
+    """Fused ÷8 Pallas head + XLA rephased-phase tail in ONE jitted step —
+    for deep 44.1k-multiple chains (÷16 .. ÷256) where the head does the
+    DSD-rate work single-pass and the tail runs on an 8x-smaller stream.
+
+    step(x_u8, (halo, tail_hists), seed) -> (pcm (n,C), peak, state)
+    """
+    from dsd2dxd_tpu.ops.phase import (
+        _MATMUL_TERM_THRESHOLD,
+        build_chain_plans as _plans,
+        init_phase_hists,
+        interleave_phases,
+        plan_dense_coefs,
+        stage_apply_phase,
+        stage_apply_phase_matmul,
+    )
+    from dsd2dxd_tpu.ops.resample import _dither_noise, dither_float32
+
+    n_head = hybrid_split(chain)
+    if n_head == 0 or n_head == len(chain):
+        raise ValueError("chain has no hybrid head/tail split")
+    head, tail = tuple(chain[:n_head]), tuple(chain[n_head:])
+    head_cfg = StepConfig(channels=cfg.channels, tile_bytes=cfg.tile_bytes,
+                          bit_depth=32, dither=DitherType.NONE, level_db=0.0)
+    head_step, halo = make_fused_step(head, head_cfg, block_bytes=block_bytes,
+                                      interpret=interpret, jit=False,
+                                      transpose=False)
+    tail_plans = _plans(tail, p0=1)
+    n_terms = [sum(len(t) for t in p.terms) for p in tail_plans]
+    coefs = tuple(
+        (jnp.asarray(plan_dense_coefs(p), dtype=jnp.float32)
+         if n > _MATMUL_TERM_THRESHOLD else
+         tuple(jnp.asarray([t.coef for t in terms], dtype=jnp.float32)
+               for terms in p.terms))
+        for p, n in zip(tail_plans, n_terms)
+    )
+    gain = 10.0 ** (cfg.level_db / 20.0)
+
+    def step(x_u8, state, seed):
+        halo_in, tail_hists = state
+        mid, _hpeak, new_halo = head_step(x_u8, halo_in, seed)
+        x = mid[:, None, :]  # (C, 1, n/8) phase-major p=1
+        new_hists = []
+        for plan, cf, n in zip(tail_plans, coefs, n_terms):
+            apply = (stage_apply_phase_matmul
+                     if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
+            x, h = apply(x, tail_hists[len(new_hists)], plan, cf)
+            new_hists.append(h)
+        x = interleave_phases(x)
+        if gain != 1.0:
+            x = x * jnp.float32(gain)
+        peak = jnp.max(jnp.abs(x))
+        key = jax.random.PRNGKey(seed)
+        if cfg.bit_depth == 32:
+            out = (dither_float32(x, key)
+                   if cfg.dither is DitherType.FPD else x)
+        else:
+            from dsd2dxd_tpu.ops.resample import quantize_int
+
+            noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
+            out = quantize_int(x, cfg.bit_depth, noise)
+        return out.T, peak.astype(jnp.float32), (new_halo, tuple(new_hists))
+
+    def make_state():
+        return (jnp.asarray(init_fused_halo(head, cfg.channels)),
+                init_phase_hists(tail_plans, cfg.channels))
+
+    return jax.jit(step), make_state

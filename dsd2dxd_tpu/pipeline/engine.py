@@ -94,7 +94,11 @@ def _cached_step(chain_key, cfg):
 
             return step, make_state
         except ValueError:
-            pass  # chain/dither not covered by the fused kernel
+            pass  # not a pure ÷8 chain; try the hybrid head+tail split
+        try:
+            return fused.make_hybrid_step(chain, cfg)
+        except ValueError:
+            pass  # no ÷8 head (48k chains): XLA phase path below
     pstep = make_phase_step(chain, cfg)
     base_key = jax.random.PRNGKey(0x5D5D)
 
@@ -268,7 +272,11 @@ class Converter:
             chain_key = (self.filt, info.rate, self.output_rate)
             chain = get_chain(*chain_key)
             ratio = chain_ratio(chain)
-            tile_bytes = _tile_bytes_for(chain, self.tile_target_bytes)
+            # Scale tiles with the input rate: constant audio seconds per
+            # tile (steady progress cadence) and enough work per dispatch
+            # to amortize fixed per-step costs at DSD256/512 rates.
+            tile_bytes = _tile_bytes_for(
+                chain, self.tile_target_bytes * int(info.rate))
             # NJAD is a sequential host-side requantizer (native/src/njad.cc):
             # the device step emits float PCM, the sink quantizes.
             float_out = (self.level_check_only
