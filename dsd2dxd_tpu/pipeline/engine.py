@@ -119,7 +119,7 @@ class Converter:
                  output_rate: int, out_dir: Optional[Path],
                  dither: DitherType, filt: FilterType, append_rate: bool,
                  base_dir: Optional[Path], level_check_only: bool = False,
-                 tile_target_bytes: int = _DEFAULT_TILE_TARGET):
+                 tile_target_bytes: Optional[int] = None):
         info = source.info
         check_filter_choice(filt, info.rate, output_rate)
         if bit_depth not in (16, 20, 24, 32):
@@ -142,7 +142,9 @@ class Converter:
         self.append_rate = append_rate
         self.base_dir = Path(base_dir) if base_dir else None
         self.level_check_only = level_check_only
-        self.tile_target_bytes = tile_target_bytes
+        # resolved at call time so tests can shrink the module default
+        self.tile_target_bytes = (tile_target_bytes if tile_target_bytes
+                                  else _DEFAULT_TILE_TARGET)
         self._out_path = self._build_output_path()
 
     # -- construction mirroring the reference API ---------------------------

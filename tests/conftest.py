@@ -17,6 +17,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Small engine tiles for the short test fixtures (the production default
+# of 4 MiB/ch x rate multiplier just burns CPU time on padding here).
+import dsd2dxd_tpu.pipeline.engine as _engine
+
+_engine._DEFAULT_TILE_TARGET = 512 * 1024
+
 import sys
 from pathlib import Path
 
