@@ -13,10 +13,12 @@
 // C ABI only (consumed via ctypes — ../loader.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #define DSDKIT_API extern "C" __attribute__((visibility("default")))
@@ -561,12 +563,37 @@ struct Encoder {
       p += take * channels;
       left -= take;
       if (pend.size() == bs_vals) {
-        encode_block(pend.data(), block_size);
+        emit(encode_frame(pend.data(), block_size, frame_index));
         pend.clear();
       }
     }
-    while (left >= block_size) {
-      encode_block(p, block_size);
+    // fan full blocks across cores (frames are independent; order is
+    // restored by indexed results — the reference parallelizes with a
+    // Rayon pool at the file level, we add it inside the encoder too)
+    size_t n_blocks = left / block_size;
+    if (n_blocks >= 2) {
+      unsigned n_threads = std::thread::hardware_concurrency();
+      if (n_threads == 0) n_threads = 4;
+      n_threads = std::min<size_t>(n_threads, n_blocks);
+      std::vector<std::vector<uint8_t>> results(n_blocks);
+      std::atomic<size_t> next{0};
+      auto worker = [&]() {
+        for (;;) {
+          size_t b = next.fetch_add(1);
+          if (b >= n_blocks) return;
+          results[b] = encode_frame(p + b * bs_vals, block_size,
+                                    frame_index + b);
+        }
+      };
+      std::vector<std::thread> threads;
+      for (unsigned t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+      worker();
+      for (auto& t : threads) t.join();
+      for (auto& r : results) emit(std::move(r));
+      p += n_blocks * bs_vals;
+      left -= n_blocks * block_size;
+    } else if (n_blocks == 1) {
+      emit(encode_frame(p, block_size, frame_index));
       p += bs_vals;
       left -= block_size;
     }
@@ -575,12 +602,16 @@ struct Encoder {
 
   void finish() {
     if (!pend.empty()) {
-      encode_block(pend.data(), uint32_t(pend.size() / channels));
+      emit(encode_frame(pend.data(), uint32_t(pend.size() / channels),
+                        frame_index));
       pend.clear();
     }
   }
 
-  void encode_block(const int32_t* inter, uint32_t bs) {
+  // Encode one frame; pure w.r.t. the encoder (thread-safe given a
+  // frame index), so feed() can fan blocks out across cores.
+  std::vector<uint8_t> encode_frame(const int32_t* inter, uint32_t bs,
+                                    uint64_t index) const {
     // deinterleave
     std::vector<std::vector<int32_t>> ch(channels, std::vector<int32_t>(bs));
     for (uint32_t i = 0; i < bs; ++i)
@@ -628,7 +659,7 @@ struct Encoder {
       h.put(uint32_t(sample_size_code(int(bps))), 3);
       h.put(0, 1);  // reserved
       hdr = h.buf;
-      write_utf8(hdr, frame_index);
+      write_utf8(hdr, index);
       if (bs_tail_bits) {
         hdr.push_back(uint8_t(bs_tail >> 8));
         hdr.push_back(uint8_t(bs_tail));
@@ -657,11 +688,14 @@ struct Encoder {
     uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
     bw.buf.push_back(uint8_t(c16 >> 8));
     bw.buf.push_back(uint8_t(c16));
+    return bw.buf;
+  }
 
-    uint32_t fsz = uint32_t(bw.buf.size());
+  void emit(std::vector<uint8_t>&& frame) {
+    uint32_t fsz = uint32_t(frame.size());
     min_frame = std::min(min_frame, fsz);
     max_frame = std::max(max_frame, fsz);
-    out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+    out.insert(out.end(), frame.begin(), frame.end());
     ++frame_index;
   }
 
