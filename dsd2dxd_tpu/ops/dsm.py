@@ -29,19 +29,16 @@ def dsm2_bits(x: np.ndarray) -> np.ndarray:
     except ImportError:
         pass
     x = np.asarray(x, dtype=np.float64)
-    bits = np.empty(x.shape[0], dtype=np.uint8)
     s1 = 0.0
     s2 = 0.0
-    xl = x.tolist()
     out = []
     append = out.append
-    for v in xl:
+    for v in x.tolist():
         y = 1.0 if s2 >= 0.0 else -1.0
         append(1 if y > 0 else 0)
         s1 += 0.5 * (v - y)
         s2 += 0.5 * (s1 - y)
-    bits[:] = out
-    return bits
+    return np.array(out, dtype=np.uint8)
 
 
 def bits_to_bytes_msb(bits: np.ndarray) -> np.ndarray:

@@ -39,6 +39,7 @@ from dsd2dxd_tpu.ops.phase import PhasePlan, build_chain_plans
 from dsd2dxd_tpu.ops.resample import StepConfig
 
 IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
+DEFAULT_BLOCK_BYTES = 16384  # lane-block per grid step (VMEM-sized)
 
 
 def fused_eligible(plans: Sequence[PhasePlan]) -> bool:
@@ -58,13 +59,7 @@ def chain_halo_bytes(plans: Sequence[PhasePlan]) -> int:
     return -(-need // 128) * 128
 
 
-def _tree_sum(contribs):
-    while len(contribs) > 1:
-        nxt = [a + b for a, b in zip(contribs[::2], contribs[1::2])]
-        if len(contribs) & 1:
-            nxt.append(contribs[-1])
-        contribs = nxt
-    return contribs[0]
+from dsd2dxd_tpu.ops.phase import tree_sum as _tree_sum  # shared reduction
 
 
 def _uniform01(shape):
@@ -74,8 +69,9 @@ def _uniform01(shape):
 
 
 def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
-                  halo: int, gain: float, c_pad: int):
+                  halo: int, gain: float, c_pad: int, n_blocks: int):
     c = c_pad
+    c_real = cfg.channels
     scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
     # lanes each stage must produce: final block + downstream halos
     need = [block_bytes]
@@ -113,7 +109,9 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
         y = rows[0]  # (C, block_bytes)
         if gain != 1.0:
             y = y * jnp.float32(gain)
-        peak = jnp.max(jnp.abs(y))
+        # peak over the REAL channels only (rows >= c_real are idle-pattern
+        # padding whose stopband residue must not leak into dsd_levels)
+        peak = jnp.max(jnp.abs(y[:c_real]))
 
         @pl.when(i == 0)
         def _():
@@ -128,7 +126,9 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
             return
         v = y * jnp.float32(scale)
         if cfg.dither in (DitherType.TPDF, DitherType.RECTANGULAR):
-            pltpu.prng_seed(seed_ref[0] + i)
+            # unique stream per (tile, block): tile seeds are spaced by
+            # n_blocks so block (t, i) never reuses (t', i') noise
+            pltpu.prng_seed(seed_ref[0] * n_blocks + i)
             u1 = _uniform01((c, block_bytes))
             if cfg.dither is DitherType.TPDF:
                 v = v + (u1 + _uniform01((c, block_bytes)) - 1.0)
@@ -141,7 +141,8 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
 
 
 def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
-                    block_bytes: int = 16384, interpret: bool = False,
+                    block_bytes: int = DEFAULT_BLOCK_BYTES,
+                    interpret: bool = False,
                     jit: bool = True, transpose: bool = True):
     """Build the fused per-tile step.
 
@@ -159,8 +160,12 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     if cfg.tile_bytes % block_bytes != 0:
         raise ValueError(f"tile {cfg.tile_bytes} not a multiple of "
                          f"block {block_bytes}")
-    if cfg.bit_depth != 32 and cfg.dither not in (
-            DitherType.TPDF, DitherType.RECTANGULAR, DitherType.NONE):
+    if cfg.bit_depth == 32:
+        if cfg.dither is not DitherType.NONE:
+            # FPD (Dither Float) is applied by the phase path; fall back
+            raise ValueError("fused kernel has no float-dither path")
+    elif cfg.dither not in (DitherType.TPDF, DitherType.RECTANGULAR,
+                            DitherType.NONE):
         raise ValueError(f"fused kernel has no {cfg.dither} path")
     halo = chain_halo_bytes(plans)
     coef_tables = tuple(
@@ -175,7 +180,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     n_blocks = cfg.tile_bytes // block_bytes
     out_dtype = jnp.float32 if cfg.bit_depth == 32 else jnp.int32
     kernel = _build_kernel(plans, coef_tables, cfg, block_bytes, halo, gain,
-                           c_pad)
+                           c_pad, n_blocks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -250,7 +255,8 @@ def hybrid_split(chain: Sequence[Stage]) -> int:
 
 
 def make_hybrid_step(chain: Sequence[Stage], cfg: StepConfig,
-                     block_bytes: int = 16384, interpret: bool = False):
+                     block_bytes: int = DEFAULT_BLOCK_BYTES,
+                     interpret: bool = False):
     """Fused ÷8 Pallas head + XLA rephased-phase tail in ONE jitted step —
     for deep 44.1k-multiple chains (÷16 .. ÷256) where the head does the
     DSD-rate work single-pass and the tail runs on an 8x-smaller stream.

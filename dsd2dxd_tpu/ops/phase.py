@@ -131,6 +131,18 @@ def build_chain_plans(chain: Sequence[Stage], p0: int = 8) -> tuple[PhasePlan, .
     return tuple(plans)
 
 
+def tree_sum(contribs):
+    """Pairwise tree reduction: f32 rounding error grows ~sqrt(log N)
+    instead of ~sqrt(N) — the accumulation invariant that keeps the chain
+    below the 24-bit dither floor (CLAUDE.md)."""
+    while len(contribs) > 1:
+        nxt = [a + b for a, b in zip(contribs[::2], contribs[1::2])]
+        if len(contribs) & 1:
+            nxt.append(contribs[-1])
+        contribs = nxt
+    return contribs[0]
+
+
 def rephase(x: jax.Array, s: int) -> jax.Array:
     """(C, p, K) -> (C, p*s, K/s): stream index i = p*k + r moves to
     [i mod p*s, i div p*s] — new phase = p*(k mod s) + r."""
@@ -197,15 +209,7 @@ def stage_apply_phase(x: jax.Array, hist: jax.Array, plan: PhasePlan,
         if not contribs:
             phase_outs.append(jnp.zeros((c, k_out), dtype=x.dtype))
             continue
-        # pairwise tree reduction: f32 rounding error grows ~sqrt(log N)
-        # instead of ~sqrt(N) — keeps the chain below the 24-bit dither
-        # floor without double-precision anywhere
-        while len(contribs) > 1:
-            nxt = [a + b for a, b in zip(contribs[::2], contribs[1::2])]
-            if len(contribs) & 1:
-                nxt.append(contribs[-1])
-            contribs = nxt
-        phase_outs.append(contribs[0])
+        phase_outs.append(tree_sum(contribs))
     y = jnp.stack(phase_outs, axis=1) if plan.p_out > 1 else phase_outs[0][:, None, :]
     new_hist = xin[:, :, xin.shape[2] - H:] if H else hist
     return y, new_hist

@@ -150,8 +150,8 @@ def _dither_noise(kind: DitherType, key: jax.Array, shape, dtype) -> Optional[ja
 
 
 def quantize_int(x: jax.Array, bit_depth: int, dither: Optional[jax.Array]) -> jax.Array:
-    """Float (±1 full scale) -> int32 at bit_depth (16/20/24), round-half-
-    away, clipped. 20-bit values are in [-2^19, 2^19-1] (the container
+    """Float (±1 full scale) -> int32 at bit_depth (16/20/24),
+    round-half-to-even (jnp.round), clipped. 20-bit values are in [-2^19, 2^19-1] (the container
     pack shifts them into the top of a 24-bit word — containers/pack.py)."""
     scale = float(1 << (bit_depth - 1))
     y = x * scale

@@ -79,7 +79,8 @@ def _cached_step(chain_key, cfg):
     )
 
     chain = get_chain(*chain_key)
-    if jax.default_backend() == "tpu" and (cfg.tile_bytes % 16384) == 0:
+    if (jax.default_backend() == "tpu"
+            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0):
         try:
             fstep, _halo = fused.make_fused_step(chain, cfg)
 
@@ -412,7 +413,9 @@ class Converter:
                 self._run(cancel, progress, sink)
             finally:
                 cleanup()
-            writer.finalize()
+                # finalize even on cancel/error: the header gets real
+                # sizes so a partial file is well-formed, not corrupt
+                writer.finalize()
 
     def check_level(self, cancel: Optional[CancelFn] = None,
                     progress: Optional[ProgressFn] = None) -> float:

@@ -48,8 +48,9 @@ def pack24_device(samples: jax.Array) -> jax.Array:
     """(frames, C) int32 -> (3, frames*C) uint8 little-endian byte planes.
 
     Planar byte rows keep the lane dimension large (TPU-friendly) and cut
-    D2H volume 25% vs int32; the host interleaves with one transpose
-    (containers/pack.py consumes the (frames*C, 3) view directly)."""
+    D2H volume 25% vs int32. Currently used by bench.py's --e2e mode;
+    the engine ships int32 tiles and packs on host (wiring this into the
+    24-bit drain path is a known follow-up)."""
     v = samples.reshape(-1).astype(jnp.uint32)
     return jnp.stack([
         (v & 0xFF).astype(jnp.uint8),
