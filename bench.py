@@ -6,8 +6,12 @@ Default mode measures the sustained per-tile conversion rate of the
 compiled device step — 1-bit unpack -> phase-major FIR cascade -> level
 -> TPDF dither -> 24-bit quantize -> peak — with streaming filter state
 carried across tiles, every tile's PCM fully materialized on device and
-consumed through a digest reduction read back per tile. Inputs are
-pre-staged on device and excluded from the timed region.
+consumed through a per-tile digest reduction; the digests are combined
+and read back once at the end (the only REAL sync — np.asarray, since
+block_until_ready on small buffers returns early through this tunnel,
+and per-tile scalar reads would time the tunnel's 25-45 ms round-trip
+jitter instead of the device). Inputs are pre-staged on device and
+excluded from the timed region.
 
 Why transfers are excluded from the headline: this environment reaches
 its TPU through the experimental `axon` tunnel, whose throughput was
@@ -69,23 +73,27 @@ def main(e2e: bool = False) -> None:
         jax.block_until_ready(staged)
 
     def run_once() -> float:
+        """Dispatch all tiles (streaming state chains them on device) and
+        sync once at the end: every tile's PCM is materialized (jit
+        outputs are always written) and the digests depend on every
+        sample. Per-tile host syncs would only measure the tunnel's
+        25-45 ms scalar round-trip jitter, not the device."""
         state = make_state()
         t0 = time.perf_counter()
-        pending = None
+        digests = []
         for i in range(n_tiles):
             x = chunked_device_put(host_tiles[i]) if e2e else staged[i]
             out, peak, state = step(x, state, i)
-            if pending is not None:
-                _consume(pending)
-            pending = out
-        _consume(pending)
+            if e2e:
+                unpack24_host(np.asarray(pack24_device(out)))
+            else:
+                digests.append(digest(out))
+        if not e2e:
+            # one REAL host sync: np.asarray (block_until_ready on small
+            # buffers returns early through the axon tunnel). Summing all
+            # digests makes the sync depend on every tile's full PCM.
+            np.asarray(jnp.stack(digests).sum(axis=0))
         return time.perf_counter() - t0
-
-    def _consume(out) -> None:
-        if e2e:
-            unpack24_host(np.asarray(pack24_device(out)))
-        else:
-            np.asarray(digest(out))
 
     run_once()  # compile + warmup
     best = min(run_once() for _ in range(3))

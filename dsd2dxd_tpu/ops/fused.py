@@ -110,8 +110,11 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
         if gain != 1.0:
             y = y * jnp.float32(gain)
         # peak over the REAL channels only (rows >= c_real are idle-pattern
-        # padding whose stopband residue must not leak into dsd_levels)
-        peak = jnp.max(jnp.abs(y[:c_real]))
+        # padding whose residue must not leak into dsd_levels). A masked
+        # reduction fuses; a row slice forced an extra materialization.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+        mask = (row_ids < c_real).astype(jnp.float32)
+        peak = jnp.max(jnp.abs(y) * mask)
 
         @pl.when(i == 0)
         def _():
