@@ -260,54 +260,86 @@ def hybrid_split(chain: Sequence[Stage]) -> int:
 def make_hybrid_step(chain: Sequence[Stage], cfg: StepConfig,
                      block_bytes: int = DEFAULT_BLOCK_BYTES,
                      interpret: bool = False):
-    """Fused ÷8 Pallas head + XLA rephased-phase tail in ONE jitted step —
-    for deep 44.1k-multiple chains (÷16 .. ÷256) where the head does the
+    """Fused ÷8 Pallas head + à-trous XLA tail in ONE jitted step — for
+    deep 44.1k-multiple chains (÷16 .. ÷256) where the head does the
     DSD-rate work single-pass and the tail runs on an 8x-smaller stream.
 
-    step(x_u8, (halo, tail_hists), seed) -> (pcm (n,C), peak, state)
+    The tail stages are evaluated UNDECIMATED with dilated taps
+    (z_{j+1}[n] = sum_k h_j[k] * z_j[n - k*d_j], d_j = prod of earlier
+    tail Ms): every access is a stride-1 static slice, so none of the
+    rephase reshape+transposes (whose (.., K, s) views XLA materializes
+    with up to 64x tiling padding — HBM OOM at DSD512 tile sizes) appear.
+    One strided extraction at the end picks every R_tail-th lane. Extra
+    FLOPs vs decimated evaluation: ~sum(N_j) vs sum(N_j/2^j) taps/lane —
+    cheap on the VPU next to the padding traffic it removes.
+
+    Streaming state is a single raw-byte suffix: the head re-derives the
+    tail's left context from ctx extra input bytes (head output lanes ==
+    input bytes for a ÷8 head).
+
+    step(x_u8, halo_bytes, seed) -> (pcm (n,C), peak, new_halo)
     """
-    from dsd2dxd_tpu.ops.phase import (
-        _MATMUL_TERM_THRESHOLD,
-        build_chain_plans as _plans,
-        init_phase_hists,
-        interleave_phases,
-        plan_dense_coefs,
-        stage_apply_phase,
-        stage_apply_phase_matmul,
+    from dsd2dxd_tpu.ops.phase import tree_sum
+    from dsd2dxd_tpu.ops.resample import (
+        _dither_noise,
+        dither_float32,
+        quantize_int,
     )
-    from dsd2dxd_tpu.ops.resample import _dither_noise, dither_float32
 
     n_head = hybrid_split(chain)
     if n_head == 0 or n_head == len(chain):
         raise ValueError("chain has no hybrid head/tail split")
     head, tail = tuple(chain[:n_head]), tuple(chain[n_head:])
-    head_cfg = StepConfig(channels=cfg.channels, tile_bytes=cfg.tile_bytes,
+    if any(s.L != 1 for s in tail):
+        raise ValueError("hybrid tail must be pure decimation")
+    # dilations and left context, in head-output lanes (== input bytes)
+    dils = []
+    ctx = 0
+    r_tail = 1
+    for s in tail:
+        dils.append(r_tail)
+        ctx += (s.n_taps - 1) * r_tail
+        r_tail *= s.M
+    if cfg.tile_bytes % r_tail != 0:
+        raise ValueError("tile not aligned to the tail decimation")
+    ctx_pad = -(-ctx // block_bytes) * block_bytes
+    head_cfg = StepConfig(channels=cfg.channels,
+                          tile_bytes=cfg.tile_bytes + ctx_pad,
                           bit_depth=32, dither=DitherType.NONE, level_db=0.0)
-    head_step, halo = make_fused_step(head, head_cfg, block_bytes=block_bytes,
-                                      interpret=interpret, jit=False,
-                                      transpose=False)
-    tail_plans = _plans(tail, p0=1)
-    n_terms = [sum(len(t) for t in p.terms) for p in tail_plans]
-    coefs = tuple(
-        (jnp.asarray(plan_dense_coefs(p), dtype=jnp.float32)
-         if n > _MATMUL_TERM_THRESHOLD else
-         tuple(jnp.asarray([t.coef for t in terms], dtype=jnp.float32)
-               for terms in p.terms))
-        for p, n in zip(tail_plans, n_terms)
-    )
+    head_step, head_halo = make_fused_step(
+        head, head_cfg, block_bytes=block_bytes, interpret=interpret,
+        jit=False, transpose=False)
+    # taps flipped so stage j reads A_j[l + (N_j-1)*d_j - k*d_j] as an
+    # ascending static-offset sweep
+    taps_tail = [tuple(float(v) for v in s.taps) for s in tail]
     gain = 10.0 ** (cfg.level_db / 20.0)
+    n_loc = cfg.tile_bytes // r_tail
+    state_bytes = head_halo + ctx_pad
+
+    # per-stage output lengths (A_{j+1} lanes), back to front
+    need = [ctx_pad - ctx + cfg.tile_bytes]
+    for s, d in zip(reversed(tail), reversed(dils)):
+        need.insert(0, need[0] + (s.n_taps - 1) * d)
+    # need[0] == ctx_pad + tile == head output length
+    assert need[0] == ctx_pad + cfg.tile_bytes, need
 
     def step(x_u8, state, seed):
-        halo_in, tail_hists = state
-        mid, _hpeak, new_halo = head_step(x_u8, halo_in, seed)
-        x = mid[:, None, :]  # (C, 1, n/8) phase-major p=1
-        new_hists = []
-        for plan, cf, n in zip(tail_plans, coefs, n_terms):
-            apply = (stage_apply_phase_matmul
-                     if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
-            x, h = apply(x, tail_hists[len(new_hists)], plan, cf)
-            new_hists.append(h)
-        x = interleave_phases(x)
+        head_in = jnp.concatenate([state[:, head_halo:], x_u8], axis=1)
+        mid, _hpeak, _ = head_step(head_in, state[:, :head_halo], seed)
+        z = mid  # (C, ctx_pad + tile) f32
+        for j, (taps, d) in enumerate(zip(taps_tail, dils)):
+            n_t = len(taps)
+            k_out = need[j + 1]
+            contribs = []
+            for k, coef in enumerate(taps):
+                start = (n_t - 1) * d - k * d
+                contribs.append(jnp.float32(coef)
+                                * jax.lax.slice(z, (0, start),
+                                                (z.shape[0], start + k_out)))
+            z = tree_sum(contribs)
+        # extract every r_tail-th lane (the only non-unit-stride access)
+        zz = z[:, ctx_pad - ctx:]
+        x = zz.reshape(zz.shape[0], n_loc, r_tail)[..., 0]
         if gain != 1.0:
             x = x * jnp.float32(gain)
         peak = jnp.max(jnp.abs(x))
@@ -316,14 +348,13 @@ def make_hybrid_step(chain: Sequence[Stage], cfg: StepConfig,
             out = (dither_float32(x, key)
                    if cfg.dither is DitherType.FPD else x)
         else:
-            from dsd2dxd_tpu.ops.resample import quantize_int
-
             noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
             out = quantize_int(x, cfg.bit_depth, noise)
-        return out.T, peak.astype(jnp.float32), (new_halo, tuple(new_hists))
+        new_state = jnp.concatenate([state, x_u8], axis=1)[:, -state_bytes:]
+        return out.T, peak.astype(jnp.float32), new_state
 
     def make_state():
-        return (jnp.asarray(init_fused_halo(head, cfg.channels)),
-                init_phase_hists(tail_plans, cfg.channels))
+        return jnp.full((cfg.channels, state_bytes), IDLE_BYTE,
+                        dtype=jnp.uint8)
 
     return jax.jit(step), make_state

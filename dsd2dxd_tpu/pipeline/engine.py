@@ -277,12 +277,9 @@ class Converter:
             ratio = chain_ratio(chain)
             # Scale tiles with the input rate: constant audio seconds per
             # tile (steady progress cadence) and enough work per dispatch
-            # to amortize fixed per-step costs at DSD256/512 rates. Capped
-            # at 4x: beyond ~16 MiB/ch the deep-chain rephase intermediates
-            # (64x tiling padding on the (.., K, s) views) exhaust HBM —
-            # the a-trous tail planned in CLAUDE.md removes this limit.
+            # to amortize fixed per-step costs at DSD256/512 rates.
             tile_bytes = _tile_bytes_for(
-                chain, self.tile_target_bytes * min(int(info.rate), 4))
+                chain, self.tile_target_bytes * int(info.rate))
             # NJAD is a sequential host-side requantizer (native/src/njad.cc):
             # the device step emits float PCM, the sink quantizes.
             float_out = (self.level_check_only
