@@ -121,7 +121,13 @@ class NativeLib:
     # -- NJAD requantizer ----------------------------------------------------
 
     def njad_new(self, channels: int) -> int:
-        return self._dll.dsdkit_njad_new(channels)
+        state = self._dll.dsdkit_njad_new(channels)
+        if not state:
+            from dsd2dxd_tpu.utils.errors import ConfigError
+
+            raise ConfigError(
+                f"NJAD dither supports 1-16 channels, got {channels}")
+        return state
 
     def njad_quantize(self, state: int, samples: np.ndarray,
                       bits: int) -> np.ndarray:

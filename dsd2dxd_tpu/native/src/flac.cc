@@ -651,7 +651,7 @@ struct Encoder {
       int bs_tail_bits = 0;
       uint32_t bs_tail = 0;
       if (bs == block_size && bs == 4096) bs_code = 12;
-      else if (bs == block_size && bs == 4608) bs_code = 14;  // not used
+      else if (bs == block_size && bs == 4608) bs_code = 5;  // 576*2^3
       else { bs_code = 7; bs_tail_bits = 16; bs_tail = bs - 1; }
       h.put(uint32_t(bs_code), 4);
       h.put(uint32_t(sample_rate_code(rate)), 4);

@@ -67,7 +67,10 @@ int32_t clip(long long v, int bits) {
 }  // namespace
 
 DSDKIT_API void* dsdkit_njad_new(uint32_t channels) {
-  if (channels > 16) channels = 16;
+  // Reject rather than clamp: a clamp would silently alias channels >= 16
+  // onto ch[0]'s Benford histogram (cross-channel dither-feedback
+  // coupling). The loader maps nullptr to a ConfigError.
+  if (channels == 0 || channels > 16) return nullptr;
   auto* st = new NjadState();
   st->channels = channels;
   for (uint32_t c = 0; c < channels; ++c) {

@@ -189,7 +189,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # (C, halo+tile) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile) in HBM
         ],
         out_specs=[
             pl.BlockSpec((c_pad, block_bytes), lambda i, *_: (0, i),

@@ -314,6 +314,12 @@ class Converter:
                 got = planes.shape[1]
                 consumed += got
                 valid_bits += got * 8
+                if info.sample_count is not None:
+                    # The final byte of a stream whose sample_count is not
+                    # a multiple of 8 carries up-to-7 undefined padding
+                    # bits; trim at the exact bit count so they are never
+                    # converted as signal (or counted toward the peak).
+                    valid_bits = min(valid_bits, info.sample_count)
                 if got < tile_bytes:
                     pad = np.full((info.channels, tile_bytes - got), 0x69,
                                   dtype=np.uint8)  # DSD idle pattern, not DC

@@ -149,6 +149,31 @@ def test_raw_file_roundtrip(tone_dsf, tmp_path):
     assert abs(rms * np.sqrt(2) - 0.5) < 0.01
 
 
+def test_non_byte_aligned_sample_count_trims(tone_dsf, tmp_path):
+    """A DSF whose sample_count is not a multiple of 8 must trim at the
+    exact bit count: the up-to-7 padding bits in the final byte are not
+    signal (reference dsf-meta semantics; ADVICE r1)."""
+    raw = bytearray(tone_dsf.read_bytes())
+    (orig_bits,) = struct.unpack("<Q", raw[64:72])
+    cut_bits = orig_bits - 12  # not byte-aligned
+    raw[64:72] = struct.pack("<Q", cut_bits)
+    trimmed = tmp_path / "trimmed.dsf"
+    trimmed.write_bytes(bytes(raw))
+
+    out_frames = {}
+    for name, path in (("orig", tone_dsf), ("trim", trimmed)):
+        conv = Converter.from_container(
+            bit_depth=24, output=OutputType.WAV, level_db=0.0,
+            output_rate=352800, out_dir=tmp_path, dither=DitherType.NONE,
+            filt=FilterType.EQUIRIPPLE, append_rate=False,
+            base_dir=path.parent, input_path=path)
+        conv.do_conversion()
+        _, data = _read_wav(conv.output_path())
+        out_frames[name] = len(data) // (3 * 2)
+    assert out_frames["orig"] == int(orig_bits / 8)
+    assert out_frames["trim"] == int(cut_bits / 8)
+
+
 def test_cancel(tone_dsf, tmp_path):
     from dsd2dxd_tpu.utils.errors import CancelledError
 

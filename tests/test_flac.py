@@ -124,6 +124,17 @@ def test_njad_quantizer_basic():
     np.testing.assert_array_equal(got, got2)
 
 
+def test_njad_rejects_over_16_channels():
+    """>16 channels would alias onto ch[0]'s Benford histogram if clamped;
+    the native layer rejects and the loader raises instead."""
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        native.njad_new(17)
+    with pytest.raises(ConfigError):
+        native.njad_new(0)
+
+
 def test_engine_baseline3_dsd128_flac_20bit_njad(tmp_path):
     """BASELINE.md config 3: DSD128 .dsf -> 88.2k FLAC, 20-bit, NJAD."""
     from dsd2dxd_tpu.formats.dsd_types import (

@@ -72,6 +72,52 @@ def test_fused_matches_phase_streaming(rate, out_hz, channels):
             assert abs(float(pf) - float(pp)) < 1e-4
 
 
+HYBRID_CONFIGS = [
+    (DsdRate.DSD64, 176400),   # ÷16
+    (DsdRate.DSD64, 88200),    # ÷32
+    (DsdRate.DSD128, 88200),   # ÷64
+]
+
+
+@pytest.mark.parametrize("rate,out_hz", HYBRID_CONFIGS)
+@pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
+                                              (24, DitherType.TPDF)])
+def test_hybrid_matches_phase_streaming(rate, out_hz, bit_depth, dither):
+    """The à-trous hybrid (fused ÷8 head + dilated tail) is the TPU
+    production path for deep 44.1k chains — keep it in lockstep with the
+    phase path (CLAUDE.md invariant), including the int/dither epilogue."""
+    from dsd2dxd_tpu.filters.design import chain_ratio
+    from dsd2dxd_tpu.ops.fused import make_hybrid_step
+
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.0)
+    hstep, make_state = make_hybrid_step(chain, cfg, interpret=True)
+    pstep = make_phase_step(chain, cfg)
+    state = make_state()
+    hists = init_phase_hists(build_chain_plans(chain), 2)
+    rng = np.random.default_rng(7)
+    ratio = chain_ratio(chain)
+    # tile 0 warmup: idle-byte state priming vs the phase path's zero
+    # float histories — outputs differ within the state's reach
+    skip = int(state.shape[1] * 8 * ratio) + 1
+    for t in range(3):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        oh, ph, state = hstep(x, state, t)
+        op, pp, hists = pstep(x, hists, jax.random.PRNGKey(t))
+        oh, op = np.asarray(oh), np.asarray(op)
+        assert oh.shape == op.shape
+        s = skip if t == 0 else 0
+        if bit_depth == 32:
+            assert np.max(np.abs(oh[s:] - op[s:])) < 2e-6
+        else:
+            d = np.abs(oh[s:].astype(np.int64) - op[s:].astype(np.int64))
+            assert d.max() <= 5  # f32 summation-order differences only
+        if t > 0:
+            assert abs(float(ph) - float(pp)) < 1e-4
+
+
 def test_fused_quantized_int24():
     chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
     tile = 16384
