@@ -58,7 +58,7 @@ def main(e2e: bool = False) -> None:
                      dither=DitherType.TPDF, level_db=0.0)
     # The engine's dispatched device step: the fused single-pass Pallas
     # kernel on TPU, the XLA phase path elsewhere.
-    step, make_state = _cached_step(
+    step, make_state, prep = _cached_step(
         (FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800), cfg)
     digest = jax.jit(lambda p: jnp.stack(
         [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
@@ -69,7 +69,7 @@ def main(e2e: bool = False) -> None:
                   for _ in range(n_tiles)]
 
     if not e2e:
-        staged = [chunked_device_put(t) for t in host_tiles]
+        staged = [chunked_device_put(prep(t)) for t in host_tiles]
         jax.block_until_ready(staged)
 
     def run_once() -> float:
@@ -82,7 +82,8 @@ def main(e2e: bool = False) -> None:
         t0 = time.perf_counter()
         digests = []
         for i in range(n_tiles):
-            x = chunked_device_put(host_tiles[i]) if e2e else staged[i]
+            x = (chunked_device_put(prep(host_tiles[i])) if e2e
+                 else staged[i])
             out, peak, state = step(x, state, i)
             if e2e:
                 unpack24_host(np.asarray(pack24_device(out)))

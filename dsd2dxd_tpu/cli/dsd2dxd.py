@@ -156,14 +156,16 @@ def convert_stdin(args, enums, base_dir: Path) -> None:
 
 
 def convert_file(path: Path, args, enums, base_dir: Path,
-                 bars: MultiProgress, cancel: threading.Event) -> None:
-    """One file on one worker (reference src/main.rs:348-439)."""
+                 bars: MultiProgress, cancel: threading.Event,
+                 device=None) -> None:
+    """One file on one worker (reference src/main.rs:348-439); `device`
+    pins the file's pipeline for multi-device batches."""
     out_dir = Path(args.path) if args.path else None
     common = dict(bit_depth=args.bitdepth, output=enums["output"],
                   level_db=args.level, output_rate=args.rate,
                   out_dir=out_dir, dither=enums["dither"],
                   filt=enums["filt"], append_rate=args.append,
-                  base_dir=base_dir)
+                  base_dir=base_dir, device=device)
     if DsdFileFormat.from_path(path).is_container():
         conv = Converter.from_container(input_path=path, **common)
     else:
@@ -221,22 +223,36 @@ def run(argv=None) -> int:
             convert_stdin(args, enums, base_dir)
             n_inputs += 1
         if files:
+            from dsd2dxd_tpu.utils.device import batch_devices
+
             cancel = threading.Event()
             errors: list[BaseException] = []
             # Raw PCM to stdout must not interleave across files: serialize.
             workers = 1 if writes_stdout else min(worker_count(), len(files))
+            # File-level data parallelism across devices: round-robin the
+            # batch, one pipeline per device (the TPU analog of the
+            # reference's Rayon fan-out, src/main.rs:279-297). With one
+            # device this is a no-op; enough host workers are kept to
+            # feed every device.
+            devices = batch_devices()
+            if len(devices) > 1 and len(files) > 1 and not writes_stdout:
+                workers = min(max(workers, len(devices)), len(files))
+            else:
+                devices = [None]
 
-            def job(path: Path) -> None:
+            def job(item) -> None:
+                idx, path = item
                 if cancel.is_set():
                     return
                 try:
-                    convert_file(path, args, enums, base_dir, bars, cancel)
+                    convert_file(path, args, enums, base_dir, bars, cancel,
+                                 device=devices[idx % len(devices)])
                 except BaseException as e:  # noqa: BLE001 - fail-fast batch
                     errors.append(e)
                     cancel.set()
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(job, files))
+                list(pool.map(job, enumerate(files)))
             if errors:
                 raise errors[0]
             n_inputs += len(files)

@@ -42,21 +42,57 @@ IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
 DEFAULT_BLOCK_BYTES = 16384  # lane-block per grid step (VMEM-sized)
 
 
-def fused_eligible(plans: Sequence[PhasePlan]) -> bool:
+def fused_eligible(plans: Sequence[PhasePlan], groups: int = 1) -> bool:
     # rephasing (reshape+transpose) isn't expressible in the kernel, so
-    # only natural stride-1 chains qualify: the ÷8 family
-    return (all(p.rephase == 1 for p in plans)
+    # only stride-1 chains qualify. At groups=1 that is the natural ÷8
+    # family; byte-group pre-splitting (p0 = 8*groups) extends it to every
+    # pure ÷(8*groups) cascade — all the deep 44.1k chains.
+    return (all(p.rephase == 1 and p.lane_stride == 1 for p in plans)
             and plans[-1].p_out == 1
-            and plans[0].p_in == 8)
+            and plans[0].p_in == 8 * groups)
 
 
-def chain_halo_bytes(plans: Sequence[PhasePlan]) -> int:
-    """Byte halo so every stage's left context is in-block: with s==1
-    everywhere, stage j needs hist_lanes extra lanes of its input, and
-    lanes are bytes at the top of the chain. Rounded up to 128 so DMA
+def fused_groups(chain: Sequence[Stage]):
+    """The byte-group count G that makes `chain` runnable by the fused
+    kernel with p0 = 8G (stream sample i at phase i mod 8G), or None.
+
+    G = R/8 for a pure integer decimation by R: one lane is a little-
+    endian word of G stream bytes (byte g of the word = phase group g),
+    so one lane step is 8G stream samples and every ÷2^k stage keeps
+    lane stride 1 — the rephase reshape+transposes that kept deep chains
+    off the single-pass kernel vanish. G is capped at 4 (the widest
+    native word, u32); deeper chains run the grouped-head hybrid.
+    (CLAUDE.md round-2 plan; VERDICT r1 item 3.)
+    """
+    from fractions import Fraction
+
+    r = Fraction(1)
+    for s in chain:
+        if s.L != 1:
+            return None
+        r *= s.M
+    if r.denominator != 1 or r.numerator % 8 != 0:
+        return None
+    g = r.numerator // 8
+    if g not in _WORD_DTYPES:
+        return None
+    plans = build_chain_plans(chain, p0=8 * g)
+    return g if fused_eligible(plans, g) else None
+
+
+def chain_halo_lanes(plans: Sequence[PhasePlan]) -> int:
+    """Lane halo so every stage's left context is in-block: with s==1
+    everywhere, stage j needs hist_lanes extra lanes of its input. At the
+    top of the chain one lane is `groups` bytes. Rounded up to 128 so DMA
     windows stay lane-tile aligned (the surplus is extra valid context)."""
     need = sum(p.hist_lanes for p in plans)
     return -(-need // 128) * 128
+
+
+def chain_halo_bytes(plans: Sequence[PhasePlan], groups: int = 1) -> int:
+    """Streaming-state bytes per channel: the lane halo times the bytes
+    per lane."""
+    return chain_halo_lanes(plans) * groups
 
 
 from dsd2dxd_tpu.ops.phase import tree_sum as _tree_sum  # shared reduction
@@ -68,31 +104,49 @@ def _uniform01(shape):
     return bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) + 0.5
 
 
-def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
-                  halo: int, gain: float, c_pad: int, n_blocks: int):
+def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
+                  halo: int, gain: float, c_pad: int, n_blocks: int,
+                  groups: int, tail, r_tail: int):
     c = c_pad
     c_real = cfg.channels
     scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
-    # lanes each stage must produce: final block + downstream halos
-    need = [block_bytes]
+    # à-trous tail bookkeeping (lanes are head-output samples): stage t of
+    # the tail is evaluated UNDECIMATED with dilation d_t, so every access
+    # is a stride-1 static slice; tail_need[t+1] lanes come out of it.
+    tail_need = [block_lanes]
+    for taps, d in reversed(tail):
+        tail_need.insert(0, tail_need[0] + (len(taps) - 1) * d)
+    # lanes each head stage must produce: the tail's input + downstream halos
+    need = [tail_need[0]]
     for p in reversed(list(plans)[1:]):
         need.insert(0, need[0] + p.hist_lanes)
     # stage-0 input rows have `halo + block` lanes; its slices sit at the
     # right edge (halo may exceed the exact context after 128-alignment)
-    extra0 = halo - sum(p.hist_lanes for p in plans)
+    extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0]
+                                                        - block_lanes)
 
     def kernel(seed_ref, x_hbm, out_ref, peak_ref, xb_vmem, sem):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(i * block_bytes, halo + block_bytes)],
+            x_hbm.at[:, pl.ds(i * block_lanes, halo + block_lanes)],
             xb_vmem, sem)
         cp.start()
         cp.wait()
         # Mosaic prefers flat 2D vectors: keep the stream as a LIST of
         # per-phase (C, K) f32 arrays instead of one (C, P, K) tensor.
-        xi = xb_vmem[:, :].astype(jnp.int32)
-        rows = [((xi >> (7 - r)) & 1).astype(jnp.float32) * 2.0 - 1.0
-                for r in range(8)]
+        # One lane is one little-endian WORD of `groups` stream bytes
+        # (u8/u16/u32 for G=1/2/4 — the host views the byte planes as
+        # words for free), so phase r = 8*(byte g of the word) + bitpos
+        # is bit 8g + 7 - bitpos of the word: every one of the 8G phase
+        # rows is a shift/mask away, with no gathers and no relayout.
+        xw = xb_vmem[:, :]
+        xi = (pltpu.bitcast(xw, jnp.int32) if xw.dtype == jnp.uint32
+              else xw.astype(jnp.int32))
+        rows = [
+            (((xi >> (8 * (r // 8) + 7 - (r % 8))) & 1)
+             .astype(jnp.float32) * 2.0 - 1.0)
+            for r in range(8 * groups)
+        ]
         for j, plan in enumerate(plans):
             h = plan.hist_lanes
             k_out = need[j]
@@ -106,14 +160,35 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
                     contribs.append(coef_tables[j][rho][t_idx] * sl)
                 new_rows.append(_tree_sum(contribs))
             rows = new_rows
-        y = rows[0]  # (C, block_bytes)
+        z = rows[0]  # (C, tail_need[0])
+        # à-trous tail: dilated stride-1 slice-FMAs, all in VMEM. The
+        # output stays undecimated (one sample per head-output lane); the
+        # caller extracts every r_tail-th lane from the small final PCM.
+        for t, (taps, d) in enumerate(tail):
+            n_t = len(taps)
+            k_out = tail_need[t + 1]
+            contribs = []
+            for k, coef in enumerate(taps):
+                start = (n_t - 1) * d - k * d
+                contribs.append(jnp.float32(coef)
+                                * jax.lax.slice(z, (0, start),
+                                                (c, start + k_out)))
+            z = _tree_sum(contribs)
+        y = z  # (C, block_lanes)
         if gain != 1.0:
             y = y * jnp.float32(gain)
         # peak over the REAL channels only (rows >= c_real are idle-pattern
-        # padding whose residue must not leak into dsd_levels). A masked
-        # reduction fuses; a row slice forced an extra materialization.
+        # padding whose residue must not leak into dsd_levels), and over
+        # the REAL decimation phase only when a tail is present (the
+        # discarded intermediate-phase lanes are legitimate lowpass
+        # outputs but not emitted samples). A masked reduction fuses; a
+        # row slice forced an extra materialization.
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
         mask = (row_ids < c_real).astype(jnp.float32)
+        if r_tail > 1:
+            lane_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (c, block_lanes), 1)
+            mask = mask * (lane_ids % r_tail == 0).astype(jnp.float32)
         peak = jnp.max(jnp.abs(y) * mask)
 
         @pl.when(i == 0)
@@ -132,9 +207,9 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
             # unique stream per (tile, block): tile seeds are spaced by
             # n_blocks so block (t, i) never reuses (t', i') noise
             pltpu.prng_seed(seed_ref[0] * n_blocks + i)
-            u1 = _uniform01((c, block_bytes))
+            u1 = _uniform01((c, block_lanes))
             if cfg.dither is DitherType.TPDF:
-                v = v + (u1 + _uniform01((c, block_bytes)) - 1.0)
+                v = v + (u1 + _uniform01((c, block_lanes)) - 1.0)
             else:
                 v = v + (u1 - 0.5)
         out_ref[:, :] = jnp.clip(
@@ -143,26 +218,98 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_bytes: int,
     return kernel
 
 
+_WORD_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
+def fused_plan(chain: Sequence[Stage]):
+    """(n_head, groups, r_tail) for running `chain` in the single-pass
+    kernel, or None when it can't (rational stages before any ÷8 prefix).
+
+    r_tail == 1: the whole chain runs phase-major in the kernel.
+    r_tail > 1: the first n_head stages run phase-major (÷8·groups) and
+    the rest run à-trous (dilated, undecimated) in the same kernel pass;
+    the caller extracts every r_tail-th output lane.
+    """
+    g = fused_groups(chain)
+    if g is not None:
+        return (len(chain), g, 1)
+    n_head, g = hybrid_split(chain)
+    if n_head == 0:
+        return None
+    r_tail = 1
+    for s in chain[n_head:]:
+        r_tail *= s.M
+    return (n_head, g, r_tail)
+
+
+def _fused_layout(chain: Sequence[Stage], groups=None):
+    """(plans, groups, tail, r_tail, halo_lanes) shared by the step
+    factory and the state initializer. `tail` is ((taps, dilation), ...)
+    in head-output lanes."""
+    plan = fused_plan(chain)
+    if plan is None:
+        raise ValueError("chain not eligible for the fused kernel")
+    n_head, g, r_tail = plan
+    if groups is not None and groups != g:
+        raise ValueError(f"chain wants {g} byte groups, caller asked "
+                         f"for {groups}")
+    plans = build_chain_plans(chain[:n_head], p0=8 * g)
+    tail = []
+    d = 1
+    for s in chain[n_head:]:
+        tail.append((tuple(float(v) for v in s.taps), d))
+        d *= s.M
+    tail_ctx = sum((len(taps) - 1) * dd for taps, dd in tail)
+    halo_lanes = -(-(sum(p.hist_lanes for p in plans) + tail_ctx) // 128) * 128
+    return plans, g, tuple(tail), r_tail, halo_lanes
+
+
+def word_dtype(groups: int) -> np.dtype:
+    """Host dtype whose little-endian words are the kernel's lanes."""
+    return np.dtype(_WORD_DTYPES[groups])
+
+
+def prep_input(planes: np.ndarray, groups: int) -> np.ndarray:
+    """View (C, n_bytes) u8 byte planes as the word lanes the grouped
+    kernel consumes — a free numpy reinterpretation, no copy."""
+    if groups == 1:
+        return planes
+    return np.ascontiguousarray(planes).view(word_dtype(groups))
+
+
 def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                     block_bytes: int = DEFAULT_BLOCK_BYTES,
                     interpret: bool = False,
-                    jit: bool = True, transpose: bool = True):
-    """Build the fused per-tile step.
+                    jit: bool = True, transpose: bool = True,
+                    groups=None):
+    """Build the fused per-tile step for any chain `fused_plan` covers.
 
-    step(x_u8 (C, tile_bytes), halo (C, halo_bytes) u8, seed i32) ->
-        (pcm (n_out, C) — or (C, n_out) with transpose=False —, peak,
+    step(x (C, tile_bytes/G) words, halo (C, halo_words) words, seed i32)
+        -> (pcm (n_out, C) — or (C, n_out) with transpose=False —, peak,
         new_halo)
 
+    With G > 1 byte groups the input is the byte stream viewed as
+    little-endian u16/u32 words (`prep_input` — a free host-side view):
+    one lane = one word = 8G stream samples, so the kernel runs a ÷8G
+    cascade at p0 = 8G with every stage stride-1 and extracts each phase
+    row with one shift/mask — see `fused_groups`. Chains deeper than ÷32
+    (the widest word) run their remaining pure-decimation stages à-trous
+    inside the same kernel pass (see `_build_kernel`). block_bytes is in
+    INPUT bytes per grid step; the kernel's lane block is block_bytes/G.
+
+    `groups` is optional and only asserts the auto-planned group count.
     Tile must be a multiple of block_bytes. Raises ValueError for chains
-    the kernel doesn't cover (caller falls back to ops/phase.py or the
-    hybrid head+tail step below).
+    the kernel doesn't cover (caller falls back to ops/phase.py).
     """
-    plans = build_chain_plans(chain)
-    if not fused_eligible(plans):
-        raise ValueError("chain not eligible for the fused /8 kernel")
+    plans, groups, tail, r_tail, halo_lanes = _fused_layout(chain, groups)
     if cfg.tile_bytes % block_bytes != 0:
         raise ValueError(f"tile {cfg.tile_bytes} not a multiple of "
                          f"block {block_bytes}")
+    if block_bytes % (groups * 128) != 0:
+        raise ValueError(f"block {block_bytes} not lane-aligned for "
+                         f"{groups} groups")
+    if (block_bytes // groups) % r_tail != 0:
+        raise ValueError("kernel block not aligned to the tail decimation")
     if cfg.bit_depth == 32:
         if cfg.dither is not DitherType.NONE:
             # FPD (Dither Float) is applied by the phase path; fall back
@@ -170,7 +317,10 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     elif cfg.dither not in (DitherType.TPDF, DitherType.RECTANGULAR,
                             DitherType.NONE):
         raise ValueError(f"fused kernel has no {cfg.dither} path")
-    halo = chain_halo_bytes(plans)
+    wdt = jnp.dtype(word_dtype(groups))
+    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * groups, "little")
+    block_lanes = block_bytes // groups
+    tile_lanes = cfg.tile_bytes // groups  # output samples * r_tail
     coef_tables = tuple(
         tuple(tuple(float(t.coef) for t in terms) for terms in p.terms)
         for p in plans
@@ -182,23 +332,23 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     c_pad = -(-c // 4) * 4
     n_blocks = cfg.tile_bytes // block_bytes
     out_dtype = jnp.float32 if cfg.bit_depth == 32 else jnp.int32
-    kernel = _build_kernel(plans, coef_tables, cfg, block_bytes, halo, gain,
-                           c_pad, n_blocks)
+    kernel = _build_kernel(plans, coef_tables, cfg, block_lanes, halo_lanes,
+                           gain, c_pad, n_blocks, groups, tail, r_tail)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile lanes) HBM
         ],
         out_specs=[
-            pl.BlockSpec((c_pad, block_bytes), lambda i, *_: (0, i),
+            pl.BlockSpec((c_pad, block_lanes), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c_pad, halo + block_bytes), jnp.uint8),
+            pltpu.VMEM((c_pad, halo_lanes + block_lanes), wdt),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -207,154 +357,65 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((c_pad, cfg.tile_bytes), out_dtype),
+            jax.ShapeDtypeStruct((c_pad, tile_lanes), out_dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )
 
-    def step(x_u8, halo_in, seed, *, _transpose=transpose):
-        xin = jnp.concatenate([halo_in, x_u8], axis=1)
+    def step(x_w, halo_in, seed, *, _transpose=transpose):
+        xin = jnp.concatenate([halo_in, x_w], axis=1)
         if c_pad != c:
-            pad = jnp.full((c_pad - c, xin.shape[1]), IDLE_BYTE,
-                           dtype=jnp.uint8)
+            pad = jnp.full((c_pad - c, xin.shape[1]), idle_word, dtype=wdt)
             xin_k = jnp.concatenate([xin, pad], axis=0)
         else:
             xin_k = xin
         out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
-        new_halo = xin[:, xin.shape[1] - halo:]
-        pcm = out[:c].T if _transpose else out[:c]
+        new_halo = xin[:, xin.shape[1] - halo_lanes:]
+        pcm = out[:c]
+        if r_tail > 1:
+            # keep decimation phase 0 of the undecimated à-trous output
+            pcm = pcm.reshape(c, tile_lanes // r_tail, r_tail)[..., 0]
+        pcm = pcm.T if _transpose else pcm
         return pcm, peak[0, 0], new_halo
 
-    return (jax.jit(step) if jit else step), halo
+    return (jax.jit(step) if jit else step), halo_lanes * groups
 
 
-def init_fused_halo(chain: Sequence[Stage], channels: int) -> np.ndarray:
-    plans = build_chain_plans(chain)
-    return np.full((channels, chain_halo_bytes(plans)), IDLE_BYTE,
-                   dtype=np.uint8)
+def init_fused_halo(chain: Sequence[Stage], channels: int,
+                    groups=None) -> np.ndarray:
+    """Initial streaming state: idle-pattern words, (C, halo_words)."""
+    _plans, g, _tail, _rt, halo_lanes = _fused_layout(chain, groups)
+    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * g, "little")
+    return np.full((channels, halo_lanes), idle_word, dtype=word_dtype(g))
 
 
 # ---------------------------------------------------------------------------
-# Hybrid: fused ÷8 head kernel + XLA phase-path tail
+# Head/tail split planning for chains deeper than the widest word
 # ---------------------------------------------------------------------------
 
 
-def hybrid_split(chain: Sequence[Stage]) -> int:
-    """Length of the fused-head prefix: the natural ÷8 head (three ÷2
-    stages taking the bit phases 8 -> 4 -> 2 -> 1). Returns 0 when the
-    chain has no such prefix (48k chains start with ÷7)."""
-    plans = build_chain_plans(chain)
-    n = 0
-    p = 8
-    for plan in plans:
-        if plan.rephase != 1 or plan.L != 1:
+def hybrid_split(chain: Sequence[Stage]) -> tuple[int, int]:
+    """(n_head, groups): the longest fused-eligible prefix — the stages
+    covering a ÷(8G) decimation for the largest supported word size
+    G ∈ {4, 2, 1} — leaving a nonempty pure-decimation tail. Returns
+    (0, 0) when the chain has no such prefix (48k chains start the
+    rational part too early)."""
+    best = (0, 0)
+    cum = 1
+    for n in range(1, len(chain)):
+        s = chain[n - 1]
+        if s.L != 1:
             break
-        n += 1
-        p = plan.p_out
-        if p == 1:
-            return n
-    return 0
-
-
-def make_hybrid_step(chain: Sequence[Stage], cfg: StepConfig,
-                     block_bytes: int = DEFAULT_BLOCK_BYTES,
-                     interpret: bool = False):
-    """Fused ÷8 Pallas head + à-trous XLA tail in ONE jitted step — for
-    deep 44.1k-multiple chains (÷16 .. ÷256) where the head does the
-    DSD-rate work single-pass and the tail runs on an 8x-smaller stream.
-
-    The tail stages are evaluated UNDECIMATED with dilated taps
-    (z_{j+1}[n] = sum_k h_j[k] * z_j[n - k*d_j], d_j = prod of earlier
-    tail Ms): every access is a stride-1 static slice, so none of the
-    rephase reshape+transposes (whose (.., K, s) views XLA materializes
-    with up to 64x tiling padding — HBM OOM at DSD512 tile sizes) appear.
-    One strided extraction at the end picks every R_tail-th lane. Extra
-    FLOPs vs decimated evaluation: ~sum(N_j) vs sum(N_j/2^j) taps/lane —
-    cheap on the VPU next to the padding traffic it removes.
-
-    Streaming state is a single raw-byte suffix: the head re-derives the
-    tail's left context from ctx extra input bytes (head output lanes ==
-    input bytes for a ÷8 head).
-
-    step(x_u8, halo_bytes, seed) -> (pcm (n,C), peak, new_halo)
-    """
-    from dsd2dxd_tpu.ops.phase import tree_sum
-    from dsd2dxd_tpu.ops.resample import (
-        _dither_noise,
-        dither_float32,
-        quantize_int,
-    )
-
-    n_head = hybrid_split(chain)
-    if n_head == 0 or n_head == len(chain):
-        raise ValueError("chain has no hybrid head/tail split")
-    head, tail = tuple(chain[:n_head]), tuple(chain[n_head:])
-    if any(s.L != 1 for s in tail):
-        raise ValueError("hybrid tail must be pure decimation")
-    # dilations and left context, in head-output lanes (== input bytes)
-    dils = []
-    ctx = 0
-    r_tail = 1
-    for s in tail:
-        dils.append(r_tail)
-        ctx += (s.n_taps - 1) * r_tail
-        r_tail *= s.M
-    if cfg.tile_bytes % r_tail != 0:
-        raise ValueError("tile not aligned to the tail decimation")
-    ctx_pad = -(-ctx // block_bytes) * block_bytes
-    head_cfg = StepConfig(channels=cfg.channels,
-                          tile_bytes=cfg.tile_bytes + ctx_pad,
-                          bit_depth=32, dither=DitherType.NONE, level_db=0.0)
-    head_step, head_halo = make_fused_step(
-        head, head_cfg, block_bytes=block_bytes, interpret=interpret,
-        jit=False, transpose=False)
-    # taps flipped so stage j reads A_j[l + (N_j-1)*d_j - k*d_j] as an
-    # ascending static-offset sweep
-    taps_tail = [tuple(float(v) for v in s.taps) for s in tail]
-    gain = 10.0 ** (cfg.level_db / 20.0)
-    n_loc = cfg.tile_bytes // r_tail
-    state_bytes = head_halo + ctx_pad
-
-    # per-stage output lengths (A_{j+1} lanes), back to front
-    need = [ctx_pad - ctx + cfg.tile_bytes]
-    for s, d in zip(reversed(tail), reversed(dils)):
-        need.insert(0, need[0] + (s.n_taps - 1) * d)
-    # need[0] == ctx_pad + tile == head output length
-    assert need[0] == ctx_pad + cfg.tile_bytes, need
-
-    def step(x_u8, state, seed):
-        head_in = jnp.concatenate([state[:, head_halo:], x_u8], axis=1)
-        mid, _hpeak, _ = head_step(head_in, state[:, :head_halo], seed)
-        z = mid  # (C, ctx_pad + tile) f32
-        for j, (taps, d) in enumerate(zip(taps_tail, dils)):
-            n_t = len(taps)
-            k_out = need[j + 1]
-            contribs = []
-            for k, coef in enumerate(taps):
-                start = (n_t - 1) * d - k * d
-                contribs.append(jnp.float32(coef)
-                                * jax.lax.slice(z, (0, start),
-                                                (z.shape[0], start + k_out)))
-            z = tree_sum(contribs)
-        # extract every r_tail-th lane (the only non-unit-stride access)
-        zz = z[:, ctx_pad - ctx:]
-        x = zz.reshape(zz.shape[0], n_loc, r_tail)[..., 0]
-        if gain != 1.0:
-            x = x * jnp.float32(gain)
-        peak = jnp.max(jnp.abs(x))
-        key = jax.random.PRNGKey(seed)
-        if cfg.bit_depth == 32:
-            out = (dither_float32(x, key)
-                   if cfg.dither is DitherType.FPD else x)
-        else:
-            noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
-            out = quantize_int(x, cfg.bit_depth, noise)
-        new_state = jnp.concatenate([state, x_u8], axis=1)[:, -state_bytes:]
-        return out.T, peak.astype(jnp.float32), new_state
-
-    def make_state():
-        return jnp.full((cfg.channels, state_bytes), IDLE_BYTE,
-                        dtype=jnp.uint8)
-
-    return jax.jit(step), make_state
+        cum *= s.M
+        if cum % 8 != 0:
+            continue
+        g = cum // 8
+        if g not in _WORD_DTYPES:
+            continue
+        head = tuple(chain[:n])
+        if fused_groups(head) == g:
+            best = (n, g)
+    if best[0] and all(s.L == 1 for s in chain[best[0]:]):
+        return best
+    return (0, 0)

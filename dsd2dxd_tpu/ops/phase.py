@@ -281,6 +281,49 @@ def init_phase_hists(plans: Sequence[PhasePlan], channels: int,
     )
 
 
+def build_chain_coefs(plans: Sequence[PhasePlan], dtype):
+    """Per-stage device coefficient structures + term counts, shared by
+    every consumer of the phase path (streaming step, sharded tiles)."""
+    n_terms = [sum(len(t) for t in p.terms) for p in plans]
+    coefs = tuple(
+        (jnp.asarray(plan_dense_coefs(p), dtype=dtype)
+         if n > _MATMUL_TERM_THRESHOLD else
+         tuple(jnp.asarray([t.coef for t in terms], dtype=dtype)
+               for terms in p.terms))
+        for p, n in zip(plans, n_terms)
+    )
+    return coefs, n_terms
+
+
+def run_chain_phase(x, hists, plans, coefs, n_terms):
+    """The full phase-major cascade on an unpacked (C, 8, K) tile.
+    Returns ((C, n_out) natural-order float samples, new hists)."""
+    new_hists = []
+    for plan, cf, n in zip(plans, coefs, n_terms):
+        apply = (stage_apply_phase_matmul
+                 if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
+        x, h = apply(x, hists[len(new_hists)], plan, cf)
+        new_hists.append(h)
+    return interleave_phases(x), tuple(new_hists)
+
+
+def finish_tile(x, cfg: StepConfig, key, gain: float):
+    """Shared epilogue: level scale -> peak -> dither -> quantize.
+    x: (C, n) float samples. Returns ((n, C) PCM, peak f32)."""
+    if gain != 1.0:
+        x = x * x.dtype.type(gain)
+    peak = jnp.max(jnp.abs(x))
+    if cfg.bit_depth == 32:
+        if cfg.dither is DitherType.FPD:
+            out = dither_float32(x.astype(jnp.float32), key)
+        else:
+            out = x.astype(jnp.float32)
+    else:
+        noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
+        out = quantize_int(x, cfg.bit_depth, noise)
+    return out.T, peak.astype(jnp.float32)
+
+
 def make_phase_step(chain: Sequence[Stage], cfg: StepConfig, jit: bool = True):
     """Drop-in equivalent of ops.resample.make_step using the phase-major
     path. Same signature/returns: step(x_u8, hists, key) ->
@@ -290,36 +333,13 @@ def make_phase_step(chain: Sequence[Stage], cfg: StepConfig, jit: bool = True):
     unit = chain_tile_unit_bits(plans)
     assert (cfg.tile_bytes * 8) % unit == 0, (
         f"tile of {cfg.tile_bytes * 8} bits not aligned to chain unit {unit}")
-    n_terms = [sum(len(t) for t in p.terms) for p in plans]
-    coefs = tuple(
-        (jnp.asarray(plan_dense_coefs(p), dtype=dtype)
-         if n > _MATMUL_TERM_THRESHOLD else
-         tuple(jnp.asarray([t.coef for t in terms], dtype=dtype)
-               for terms in p.terms))
-        for p, n in zip(plans, n_terms)
-    )
+    coefs, n_terms = build_chain_coefs(plans, dtype)
     gain = 10.0 ** (cfg.level_db / 20.0)
 
     def step(x_u8, hists, key):
         x = unpack_bits_phase(x_u8, dtype=dtype)
-        new_hists = []
-        for plan, cf, n in zip(plans, coefs, n_terms):
-            apply = (stage_apply_phase_matmul
-                     if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
-            x, h = apply(x, hists[len(new_hists)], plan, cf)
-            new_hists.append(h)
-        x = interleave_phases(x)
-        if gain != 1.0:
-            x = x * dtype.type(gain)
-        peak = jnp.max(jnp.abs(x))
-        if cfg.bit_depth == 32:
-            if cfg.dither is DitherType.FPD:
-                out = dither_float32(x.astype(jnp.float32), key)
-            else:
-                out = x.astype(jnp.float32)
-        else:
-            noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
-            out = quantize_int(x, cfg.bit_depth, noise)
-        return out.T, peak.astype(jnp.float32), tuple(new_hists)
+        x, new_hists = run_chain_phase(x, hists, plans, coefs, n_terms)
+        out, peak = finish_tile(x, cfg, key, gain)
+        return out, peak, new_hists
 
     return jax.jit(step, donate_argnums=(1,)) if jit else step

@@ -29,23 +29,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dsd2dxd_tpu.filters.design import Stage, chain_ratio
 from dsd2dxd_tpu.formats.dsd_types import DitherType
 from dsd2dxd_tpu.ops.phase import (
+    build_chain_coefs,
     build_chain_plans,
     chain_tile_unit_bits,
+    finish_tile,
     init_phase_hists,
-    interleave_phases,
-    plan_dense_coefs,
-    stage_apply_phase,
-    stage_apply_phase_matmul,
+    run_chain_phase,
     unpack_bits_phase,
-    _MATMUL_TERM_THRESHOLD,
 )
-from dsd2dxd_tpu.ops.resample import (
-    StepConfig,
-    _dither_noise,
-    dither_float32,
-    quantize_int,
-    stage_history_len,
-)
+from dsd2dxd_tpu.ops.resample import StepConfig, stage_history_len
 
 
 def chain_halo_bits(chain: Sequence[Stage]) -> int:
@@ -70,44 +62,25 @@ def halo_bytes_for(chain: Sequence[Stage]) -> int:
 def _tile_chain_fn(chain, cfg: StepConfig, halo_bytes: int):
     """Per-tile function: (C, halo+tile bytes) -> ((n_out, C), peak).
 
-    Processes halo+tile through the phase-major cascade (ops/phase.py)
-    with zero initial history and keeps only the outputs belonging to the
-    tile — translation invariance of the FIR cascade makes them equal to
-    the streaming outputs."""
+    Processes halo+tile through the phase-major cascade with zero initial
+    history and keeps only the outputs belonging to the tile —
+    translation invariance of the FIR cascade makes them equal to the
+    streaming outputs. The cascade body and epilogue are ops/phase.py's
+    own (run_chain_phase / finish_tile), so this path cannot drift from
+    the streaming step."""
     ratio = chain_ratio(chain)
     dtype = jnp.dtype(cfg.dtype)
     plans = build_chain_plans(chain)
-    n_terms = [sum(len(t) for t in p.terms) for p in plans]
-    coefs = tuple(
-        (jnp.asarray(plan_dense_coefs(p), dtype=dtype)
-         if n > _MATMUL_TERM_THRESHOLD else
-         tuple(jnp.asarray([t.coef for t in terms], dtype=dtype)
-               for terms in p.terms))
-        for p, n in zip(plans, n_terms)
-    )
+    coefs, n_terms = build_chain_coefs(plans, dtype)
     n_keep = int(cfg.tile_bytes * 8 * ratio)
     gain = 10.0 ** (cfg.level_db / 20.0)
 
     def fn(x_u8, key):
         x = unpack_bits_phase(x_u8, dtype=dtype)
-        for plan, cf, n in zip(plans, coefs, n_terms):
-            hist = jnp.zeros((x.shape[0], plan.p_in, plan.hist_lanes),
-                             dtype=dtype)
-            apply = (stage_apply_phase_matmul
-                     if n > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
-            x, _ = apply(x, hist, plan, cf)
-        x = interleave_phases(x)
+        zero_hists = init_phase_hists(plans, x.shape[0], dtype=dtype)
+        x, _ = run_chain_phase(x, zero_hists, plans, coefs, n_terms)
         x = x[:, x.shape[1] - n_keep:]
-        if gain != 1.0:
-            x = x * dtype.type(gain)
-        peak = jnp.max(jnp.abs(x))
-        if cfg.bit_depth == 32:
-            out = (dither_float32(x.astype(jnp.float32), key)
-                   if cfg.dither is DitherType.FPD else x.astype(jnp.float32))
-        else:
-            noise = _dither_noise(cfg.dither, key, x.shape, x.dtype)
-            out = quantize_int(x, cfg.bit_depth, noise)
-        return out.T, peak.astype(jnp.float32)
+        return finish_tile(x, cfg, key, gain)
 
     return fn
 

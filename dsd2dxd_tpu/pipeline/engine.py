@@ -62,11 +62,16 @@ def _tile_bytes_for(chain, target_bytes: int) -> int:
 
 @lru_cache(maxsize=32)
 def _cached_step(chain_key, cfg):
-    """(step(x_u8, state, tile_idx) -> (pcm, peak, state), make_state()).
+    """(step(x, state, tile_idx) -> (pcm, peak, state), make_state(),
+    prep(planes) -> host array the step consumes).
 
-    On TPU, ÷8 chains run the fused single-pass Pallas kernel
-    (ops/fused.py, ~2300x real-time measured); everything else (and CPU)
-    runs the XLA phase-major path — both verified equivalent in tests.
+    On TPU, every pure ÷2^k chain runs the fused single-pass Pallas
+    kernel — ÷8..÷32 phase-major via byte-group words (ops/fused.py,
+    ~2300x real-time measured for ÷8), ÷64+ with the remaining stages
+    à-trous inside the same kernel pass; everything else (and CPU) runs
+    the XLA phase-major path — all verified equivalent in tests. `prep`
+    is the free host-side word view the grouped kernels consume
+    (fused.prep_input); identity for the phase path.
     """
     import jax
 
@@ -80,12 +85,11 @@ def _cached_step(chain_key, cfg):
 
     chain = get_chain(*chain_key)
     if (jax.default_backend() == "tpu"
-            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0):
+            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0
+            and fused.fused_plan(chain) is not None):
         try:
             fstep, _halo = fused.make_fused_step(chain, cfg)
-
-            def step(x, state, tile_idx):
-                return fstep(x, state, tile_idx)
+            groups = fused.fused_plan(chain)[1]
 
             def make_state():
                 import jax as _jax
@@ -93,13 +97,12 @@ def _cached_step(chain_key, cfg):
                 return _jax.device_put(
                     fused.init_fused_halo(chain, cfg.channels))
 
-            return step, make_state
+            def prep(planes, _g=groups):
+                return fused.prep_input(planes, _g)
+
+            return fstep, make_state, prep
         except ValueError:
-            pass  # not a pure ÷8 chain; try the hybrid head+tail split
-        try:
-            return fused.make_hybrid_step(chain, cfg)
-        except ValueError:
-            pass  # no ÷8 head (48k chains): XLA phase path below
+            pass  # cfg not kernel-expressible (e.g. FPD): phase path
     pstep = make_phase_step(chain, cfg)
     base_key = jax.random.PRNGKey(0x5D5D)
 
@@ -109,7 +112,7 @@ def _cached_step(chain_key, cfg):
     def make_state():
         return init_phase_hists(build_chain_plans(chain), cfg.channels)
 
-    return step, make_state
+    return step, make_state, lambda planes: planes
 
 
 class Converter:
@@ -120,7 +123,7 @@ class Converter:
                  output_rate: int, out_dir: Optional[Path],
                  dither: DitherType, filt: FilterType, append_rate: bool,
                  base_dir: Optional[Path], level_check_only: bool = False,
-                 tile_target_bytes: Optional[int] = None):
+                 tile_target_bytes: Optional[int] = None, device=None):
         info = source.info
         check_filter_choice(filt, info.rate, output_rate)
         if bit_depth not in (16, 20, 24, 32):
@@ -143,6 +146,11 @@ class Converter:
         self.append_rate = append_rate
         self.base_dir = Path(base_dir) if base_dir else None
         self.level_check_only = level_check_only
+        # file-level data parallelism: pin this conversion's pipeline to
+        # one device; the CLI round-robins a batch across jax.devices()
+        # (the TPU analog of the reference's one-file-per-Rayon-thread,
+        # src/main.rs:279-297)
+        self.device = device
         # resolved at call time so tests can shrink the module default
         self.tile_target_bytes = (tile_target_bytes if tile_target_bytes
                                   else _DEFAULT_TILE_TARGET)
@@ -156,7 +164,7 @@ class Converter:
             fmt: FmtType, endian: Endianness, input_rate: DsdRate,
             block_size: int, channels: int, filt: FilterType,
             append_rate: bool, base_dir: Path,
-            input_path: Optional[Path]) -> "Converter":
+            input_path: Optional[Path], device=None) -> "Converter":
         """Raw/explicit-config constructor (stdin or raw .dsd file) —
         parameter-for-parameter with the reference
         (src/main.rs:325-343)."""
@@ -169,14 +177,14 @@ class Converter:
         return cls(source=src, input_path=input_path, bit_depth=bit_depth,
                    output=output, level_db=level_db, output_rate=output_rate,
                    out_dir=out_dir, dither=dither, filt=filt,
-                   append_rate=append_rate, base_dir=base_dir)
+                   append_rate=append_rate, base_dir=base_dir, device=device)
 
     @classmethod
     def from_container(cls, bit_depth: int, output: OutputType,
                        level_db: float, output_rate: int,
                        out_dir: Optional[Path], dither: DitherType,
                        filt: FilterType, append_rate: bool, base_dir: Path,
-                       input_path: Path) -> "Converter":
+                       input_path: Path, device=None) -> "Converter":
         """Container path (.dsf/.dff): fmt/endian/rate/block-size/channels
         come from the container, overriding any CLI flags (reference
         src/main.rs:361-374; README.md:102-106)."""
@@ -184,7 +192,7 @@ class Converter:
         return cls(source=src, input_path=input_path, bit_depth=bit_depth,
                    output=output, level_db=level_db, output_rate=output_rate,
                    out_dir=out_dir, dither=dither, filt=filt,
-                   append_rate=append_rate, base_dir=base_dir)
+                   append_rate=append_rate, base_dir=base_dir, device=device)
 
     @classmethod
     def new_level_check(cls, output_rate: int, input_path: Optional[Path],
@@ -294,8 +302,18 @@ class Converter:
                         else self.dither),
                 level_db=self.level_db,
             )
-            step, make_state = _cached_step(chain_key, cfg)
+            from dsd2dxd_tpu.utils.device import stream_mesh
+
+            mesh = stream_mesh()
+            if mesh is not None:
+                return self._run_tile_sharded(mesh, chain, ratio, cfg,
+                                              cancel, progress, sink)
+            step, make_state, prep = _cached_step(chain_key, cfg)
             state = make_state()
+            if self.device is not None:
+                import jax
+
+                state = jax.device_put(state, self.device)
 
             total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
             consumed = 0
@@ -330,7 +348,8 @@ class Converter:
                 from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
 
                 out, tile_peak, state = step(
-                    chunked_device_put(planes), state, tile_idx)
+                    chunked_device_put(prep(planes), self.device),
+                    state, tile_idx)
                 tile_idx += 1
                 if pending is not None:
                     peak = self._drain(pending, sink, peak)
@@ -353,6 +372,49 @@ class Converter:
                     f"({audio_s / elapsed:.0f}x real-time, "
                     f"{consumed * info.channels / elapsed / 2**20:.1f} MiB/s DSD in)")
             return peak
+
+    def _run_tile_sharded(self, mesh, chain, ratio, cfg, cancel, progress,
+                          sink) -> float:
+        """Sequence-parallel mode (DSD2DXD_SHARD_STREAM=1): split ONE
+        stream into overlap-save tiles and convert them across every
+        device of the mesh in one shard_map dispatch (SURVEY.md §5
+        long-context row; parallel/sharded.py). The whole stream is
+        staged in host memory — the right trade for the big single files
+        this mode exists for."""
+        from dsd2dxd_tpu.formats.dsd_types import ONE_HUNDRED_PERCENT
+        from dsd2dxd_tpu.parallel.sharded import convert_stream_tiled
+
+        info = self.source.info
+        total_bytes = info.data_bytes_per_channel
+        blocks = []
+        consumed = 0
+        while True:
+            if cancel is not None and cancel():
+                raise CancelledError("Conversion canceled")
+            b = self.source.read(1 << 22)
+            if b is None:
+                break
+            blocks.append(b)
+            consumed += b.shape[1]
+            if progress is not None and total_bytes:
+                # reading is roughly half the wall clock in this mode
+                pct = min(50.0 * consumed / total_bytes, 50.0)
+                progress(ProgressUpdate(percent=pct))
+        if not blocks:
+            return 0.0
+        planes = np.concatenate(blocks, axis=1)
+        valid_bits = planes.shape[1] * 8
+        if info.sample_count is not None:
+            valid_bits = min(valid_bits, info.sample_count)
+        out, peak = convert_stream_tiled(planes, chain, cfg, mesh)
+        if cancel is not None and cancel():
+            raise CancelledError("Conversion canceled")
+        n_total = int(valid_bits * ratio)
+        if sink is not None:
+            sink(out[:n_total])
+        if progress is not None:
+            progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
+        return float(peak)
 
     @staticmethod
     def _drain(pending, sink, peak: float) -> float:

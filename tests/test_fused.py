@@ -11,8 +11,10 @@ from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
 from dsd2dxd_tpu.ops.fused import (
     chain_halo_bytes,
     fused_eligible,
+    fused_groups,
     init_fused_halo,
     make_fused_step,
+    prep_input,
 )
 from dsd2dxd_tpu.ops.phase import (
     build_chain_plans,
@@ -32,16 +34,70 @@ def test_eligibility():
     for rate, out_hz in DIV8_CONFIGS:
         plans = build_chain_plans(get_chain(FilterType.EQUIRIPPLE, rate, out_hz))
         assert fused_eligible(plans)
-    # rational and deep chains are not eligible
+    # rational chains are not eligible at any group count
     assert not fused_eligible(
         build_chain_plans(get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)))
-    assert not fused_eligible(
-        build_chain_plans(get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)))
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)) is None
+    # rational chains have no fused plan at all: the factory refuses
     with pytest.raises(ValueError):
         make_fused_step(
-            get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200),
+            get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000),
             StepConfig(channels=2, tile_bytes=16384, bit_depth=24,
                        dither=DitherType.TPDF, level_db=0.0), interpret=True)
+    # deep ÷2^k chains are not eligible ungrouped...
+    assert not fused_eligible(
+        build_chain_plans(get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)))
+    # ...but ARE eligible with byte-group words up to u32 (G=4)
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 176400)) == 2
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)) == 4
+    # ÷64 exceeds the widest word: grouped-head hybrid territory
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)) is None
+
+
+GROUPED_CONFIGS = [
+    (DsdRate.DSD64, 176400, 2),   # ÷16, u16 lanes
+    (DsdRate.DSD64, 88200, 4),    # ÷32, u32 lanes
+    (DsdRate.DSD256, 352800, 4),  # ÷32 at DSD256 rates
+]
+
+
+@pytest.mark.parametrize("rate,out_hz,g", GROUPED_CONFIGS)
+@pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
+                                              (24, DitherType.NONE)])
+def test_grouped_fused_matches_phase_streaming(rate, out_hz, g, bit_depth,
+                                               dither):
+    """Byte-group word lanes (p0 = 8G) make deep ÷2^k chains single-pass;
+    keep them in lockstep with the phase path."""
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    assert fused_groups(chain) == g
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.5)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True, groups=g)
+    pstep = make_phase_step(chain, cfg)
+    rng = np.random.default_rng(9)
+    h_f = jnp.asarray(init_fused_halo(chain, 2, groups=g))
+    h_p = init_phase_hists(build_chain_plans(chain), 2)
+    key = jax.random.PRNGKey(0)
+    for t in range(3):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        of, pf, h_f = fstep(prep_input(x, g), h_f, t)
+        op, pp, h_p = pstep(x, h_p, key)
+        of, op = np.asarray(of), np.asarray(op)
+        assert of.shape == op.shape
+        skip = halo_bytes * 8 // (8 * g) + 1 if t == 0 else 0
+        if bit_depth == 32:
+            assert np.max(np.abs(of[skip:] - op[skip:])) < 2e-6
+        else:
+            d = np.abs(of[skip:].astype(np.int64)
+                       - op[skip:].astype(np.int64))
+            assert d.max() <= 5
+        if t > 0:
+            assert abs(float(pf) - float(pp)) < 1e-4
 
 
 @pytest.mark.parametrize("rate,out_hz", DIV8_CONFIGS)
@@ -72,39 +128,44 @@ def test_fused_matches_phase_streaming(rate, out_hz, channels):
             assert abs(float(pf) - float(pp)) < 1e-4
 
 
-HYBRID_CONFIGS = [
-    (DsdRate.DSD64, 176400),   # ÷16
-    (DsdRate.DSD64, 88200),    # ÷32
-    (DsdRate.DSD128, 88200),   # ÷64
+DEEP_CONFIGS = [
+    (DsdRate.DSD128, 88200),   # ÷64: head ÷32 (G=4) + 1-stage à-trous tail
+    (DsdRate.DSD256, 88200),   # ÷128: head ÷32 (G=4) + 2-stage tail
+    (DsdRate.DSD512, 352800),  # ÷64 at the highest input rate
 ]
 
 
-@pytest.mark.parametrize("rate,out_hz", HYBRID_CONFIGS)
+@pytest.mark.parametrize("rate,out_hz", DEEP_CONFIGS)
 @pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
-                                              (24, DitherType.TPDF)])
-def test_hybrid_matches_phase_streaming(rate, out_hz, bit_depth, dither):
-    """The à-trous hybrid (fused ÷8 head + dilated tail) is the TPU
-    production path for deep 44.1k chains — keep it in lockstep with the
-    phase path (CLAUDE.md invariant), including the int/dither epilogue."""
+                                              (24, DitherType.NONE)])
+def test_deep_chain_fused_matches_phase_streaming(rate, out_hz, bit_depth,
+                                                  dither):
+    """÷64+ chains run the grouped head + in-kernel à-trous tail — the
+    TPU production path for the deepest 44.1k cells; keep it in lockstep
+    with the phase path (CLAUDE.md invariant), incl. the int epilogue.
+    (TPDF uses the on-core PRNG, which has no CPU interpret-mode lowering
+    — its statistics are asserted on real hardware, tools/chipcheck.py.)"""
     from dsd2dxd_tpu.filters.design import chain_ratio
-    from dsd2dxd_tpu.ops.fused import make_hybrid_step
+    from dsd2dxd_tpu.ops.fused import fused_plan
 
     chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    n_head, g, r_tail = fused_plan(chain)
+    assert n_head < len(chain) and r_tail > 1
     tile = 16384 * 2
     cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
                      dither=dither, level_db=-1.0)
-    hstep, make_state = make_hybrid_step(chain, cfg, interpret=True)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True)
     pstep = make_phase_step(chain, cfg)
-    state = make_state()
+    state = jnp.asarray(init_fused_halo(chain, 2))
     hists = init_phase_hists(build_chain_plans(chain), 2)
     rng = np.random.default_rng(7)
     ratio = chain_ratio(chain)
-    # tile 0 warmup: idle-byte state priming vs the phase path's zero
+    # tile 0 warmup: idle-word state priming vs the phase path's zero
     # float histories — outputs differ within the state's reach
-    skip = int(state.shape[1] * 8 * ratio) + 1
+    skip = int(halo_bytes * 8 * ratio) + 1
     for t in range(3):
         x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
-        oh, ph, state = hstep(x, state, t)
+        oh, ph, state = fstep(prep_input(x, g), state, t)
         op, pp, hists = pstep(x, hists, jax.random.PRNGKey(t))
         oh, op = np.asarray(oh), np.asarray(op)
         assert oh.shape == op.shape
@@ -115,6 +176,8 @@ def test_hybrid_matches_phase_streaming(rate, out_hz, bit_depth, dither):
             d = np.abs(oh[s:].astype(np.int64) - op[s:].astype(np.int64))
             assert d.max() <= 5  # f32 summation-order differences only
         if t > 0:
+            # peak is over emitted (phase-0) samples only, matching the
+            # phase path's decimated peak
             assert abs(float(ph) - float(pp)) < 1e-4
 
 

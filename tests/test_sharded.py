@@ -1,0 +1,214 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(tests/conftest.py): overlap-save tile parallelism (parallel/sharded.py),
+its engine integration (DSD2DXD_SHARD_STREAM=1), and file-level
+device round-robin in the CLI — the TPU mappings of the reference's
+Rayon file fan-out (reference src/main.rs:279-297; SURVEY.md §2.6, §5
+long-context row)."""
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
+from dsd2dxd_tpu.formats.dsd_types import (
+    DitherType,
+    DsdRate,
+    Endianness,
+    FilterType,
+    FmtType,
+    OutputType,
+)
+from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+from dsd2dxd_tpu.ops.phase import (
+    build_chain_plans,
+    init_phase_hists,
+    make_phase_step,
+)
+from dsd2dxd_tpu.ops.resample import StepConfig
+from dsd2dxd_tpu.parallel.sharded import (
+    convert_stream_tiled,
+    halo_bytes_for,
+    make_sharded_convert,
+)
+
+
+def _mesh_1d(n=8):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), ("tile",))
+
+
+def _streaming_oracle(planes, chain, cfg):
+    """One whole-stream pass through the phase path (zero history)."""
+    step = make_phase_step(
+        chain, StepConfig(channels=planes.shape[0],
+                          tile_bytes=planes.shape[1],
+                          bit_depth=cfg.bit_depth, dither=cfg.dither,
+                          level_db=cfg.level_db), jit=False)
+    out, peak, _ = step(jnp.asarray(planes),
+                        init_phase_hists(build_chain_plans(chain),
+                                         planes.shape[0]),
+                        jax.random.PRNGKey(0))
+    return np.asarray(out), float(peak)
+
+
+@pytest.mark.parametrize("bit_depth,dither,tol", [
+    (32, DitherType.NONE, 1e-4),
+    (24, DitherType.NONE, 3),      # f32 summation order only
+    (24, DitherType.TPDF, 4),      # different noise streams per mode
+    (16, DitherType.TPDF, 4),
+])
+def test_convert_stream_tiled_matches_streaming(bit_depth, dither, tol):
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    ratio = chain_ratio(chain)
+    planes = synth_tone_dsd(1000.0, 0.1, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.0)
+    got, peak = convert_stream_tiled(planes, chain, cfg, mesh)
+    ref, ref_peak = _streaming_oracle(planes, chain, cfg)
+    assert got.shape[0] == int(planes.shape[1] * 8 * ratio)
+    # warmup: idle-pad left context vs the streaming zero history
+    skip = int(halo_bytes_for(chain) * 8 * ratio) + 1
+    n = min(len(got), len(ref))
+    if bit_depth == 32:
+        err = np.max(np.abs(got[skip:n] - ref[skip:n]))
+    else:
+        err = np.abs(got[skip:n].astype(np.int64)
+                     - ref[skip:n].astype(np.int64)).max()
+    assert err <= tol, err
+    assert abs(peak - ref_peak) < 1e-3
+
+
+def test_convert_stream_tiled_deep_chain():
+    """A rephasing chain (÷32) through the tile-sharded path."""
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)
+    ratio = chain_ratio(chain)
+    planes = synth_tone_dsd(1000.0, 0.1, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=32,
+                     dither=DitherType.NONE, level_db=0.0)
+    got, _ = convert_stream_tiled(planes, chain, cfg, mesh)
+    ref, _ = _streaming_oracle(planes, chain, cfg)
+    skip = int(halo_bytes_for(chain) * 8 * ratio) + 1
+    n = min(len(got), len(ref))
+    assert np.max(np.abs(got[skip:n] - ref[skip:n])) < 1e-4
+
+
+def test_make_sharded_convert_2d_mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("need 8 devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("stream", "tile"))
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    tile_bytes = 2048
+    cfg = StepConfig(channels=2, tile_bytes=tile_bytes, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    fn, halo = make_sharded_convert(chain, cfg, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(2, 4, 2, halo + tile_bytes),
+                     dtype=np.uint8)
+    keys = jnp.asarray(jax.random.split(jax.random.PRNGKey(0), 8)
+                       ).reshape(2, 4, -1)
+    out, peak = fn(jnp.asarray(x), keys)
+    ratio = chain_ratio(chain)
+    assert out.shape == (2, 4, int(tile_bytes * 8 * ratio), 2)
+    assert np.isfinite(float(peak)) and 0.0 < float(peak) < 2.0
+
+
+def _write_tone_dsf(path, seconds=0.1):
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+
+    planes = synth_tone_dsd(1000.0, seconds, 2_822_400, amplitude=0.5,
+                            channels=2)
+    write_dsf(path, planes, 2_822_400, lsb_first=True)
+    return path
+
+
+def _read_wav_pcm24(path):
+    import struct
+
+    raw = Path(path).read_bytes()
+    pos, data = 12, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        if cid == b"data":
+            data = raw[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+         | (b[:, 2].astype(np.int32) << 16))
+    return np.where(v >= 1 << 23, v - (1 << 24), v).reshape(-1, 2)
+
+
+def test_engine_tile_sharded_mode(tmp_path, monkeypatch):
+    """DSD2DXD_SHARD_STREAM=1 routes a conversion through
+    convert_stream_tiled; the written file matches the streaming
+    engine's output past the warmup."""
+    from dsd2dxd_tpu.pipeline.engine import Converter
+
+    if len(jax.devices()) < 2:
+        pytest.skip("need multiple devices")
+    src = _write_tone_dsf(tmp_path / "tone.dsf")
+
+    def convert(out_dir):
+        out_dir.mkdir(exist_ok=True)
+        conv = Converter.from_container(
+            bit_depth=24, output=OutputType.WAV, level_db=0.0,
+            output_rate=352800, out_dir=out_dir, dither=DitherType.NONE,
+            filt=FilterType.EQUIRIPPLE, append_rate=False,
+            base_dir=src.parent, input_path=src)
+        updates = []
+        conv.do_conversion(progress=updates.append)
+        assert updates and updates[-1].percent == 100.0
+        return _read_wav_pcm24(out_dir / "tone.wav")
+
+    monkeypatch.delenv("DSD2DXD_SHARD_STREAM", raising=False)
+    plain = convert(tmp_path / "a")
+    monkeypatch.setenv("DSD2DXD_SHARD_STREAM", "1")
+    sharded = convert(tmp_path / "b")
+    assert plain.shape == sharded.shape
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    skip = int(halo_bytes_for(chain) * 8 * chain_ratio(chain)) + 1
+    d = np.abs(plain[skip:].astype(np.int64) - sharded[skip:].astype(np.int64))
+    assert d.max() <= 1  # f32 summation order only
+
+
+def test_engine_tile_sharded_level_check(tmp_path, monkeypatch):
+    from dsd2dxd_tpu.pipeline.engine import Converter
+
+    src = _write_tone_dsf(tmp_path / "tone.dsf")
+    conv = Converter.new_level_check(
+        output_rate=352800, input_path=src, fmt=FmtType.PLANAR,
+        endian=Endianness.LSB_FIRST, channels=2, block_size=4096,
+        input_rate=DsdRate.DSD64)
+    monkeypatch.setenv("DSD2DXD_SHARD_STREAM", "1")
+    db = conv.check_level()
+    assert -6.5 < db < -4.0
+
+
+def test_cli_round_robin_multidevice(tmp_path):
+    """A multi-file batch converts across devices; outputs are identical
+    to the default-device results (the chain is deterministic)."""
+    from dsd2dxd_tpu.cli.dsd2dxd import run
+
+    files = [_write_tone_dsf(tmp_path / f"t{i}.dsf") for i in range(3)]
+    out_multi = tmp_path / "multi"
+    out_multi.mkdir()
+    rc = run(["-o", "w", "-d", "X", "-p", str(out_multi),
+              *[str(f) for f in files]])
+    assert rc == 0
+    pcms = [_read_wav_pcm24(out_multi / f"t{i}.wav") for i in range(3)]
+    # identical inputs -> identical outputs regardless of which device
+    # each file landed on
+    np.testing.assert_array_equal(pcms[0], pcms[1])
+    np.testing.assert_array_equal(pcms[0], pcms[2])

@@ -1,0 +1,198 @@
+"""On-chip (real Mosaic) validation of the fused Pallas kernels.
+
+CI runs the kernels in interpret mode on CPU (tests/test_fused.py);
+this script re-runs the equivalence checks against the XLA phase path
+on the real TPU, where Mosaic compilation, DMA windows, and the on-core
+PRNG actually execute. Run after any kernel change:
+
+    python tools/chipcheck.py            # correctness
+    python tools/chipcheck.py --perf     # + per-cell throughput table
+
+Checks per cell (every fused-eligible rate pair):
+- float path: max |fused - phase| < 2e-6 over 3 streamed tiles
+- int24 path (no dither): |diff| <= 5 LSB (f32 summation order only)
+- TPDF dither statistics on-chip: quantization-error RMS within 5% of
+  the 0.5774 LSB TPDF+rounding floor (var = 2/12 dither + 1/12 round),
+  mean < 0.01 LSB, and two different tiles produce different noise
+- peak parity within 1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+CELLS = [
+    ("DSD64", 352800), ("DSD64", 176400), ("DSD64", 88200),
+    ("DSD128", 705600), ("DSD128", 352800), ("DSD128", 176400),
+    ("DSD128", 88200),
+    ("DSD256", 1411200), ("DSD256", 705600), ("DSD256", 352800),
+    ("DSD256", 176400), ("DSD256", 88200),
+    ("DSD512", 352800),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--perf", action="store_true",
+                    help="also print a per-cell throughput table")
+    ap.add_argument("--tile-mib", type=int, default=2,
+                    help="tile size per channel for correctness checks")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
+    from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
+    from dsd2dxd_tpu.ops.fused import (
+        fused_plan,
+        init_fused_halo,
+        make_fused_step,
+        prep_input,
+    )
+    from dsd2dxd_tpu.ops.phase import (
+        build_chain_plans,
+        init_phase_hists,
+        make_phase_step,
+    )
+    from dsd2dxd_tpu.ops.resample import StepConfig
+
+    if jax.default_backend() != "tpu":
+        print(f"ERROR: default backend is {jax.default_backend()}, "
+              f"this script validates the real-Mosaic path", file=sys.stderr)
+        return 2
+    failures = 0
+    tile = args.tile_mib * 1024 * 1024
+    rng = np.random.default_rng(0)
+
+    for rate_name, out_hz in CELLS:
+        rate = DsdRate[rate_name]
+        chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+        plan = fused_plan(chain)
+        if plan is None:
+            print(f"{rate_name}->{out_hz}: no fused plan (skipped)")
+            continue
+        n_head, g, r_tail = plan
+        ratio = chain_ratio(chain)
+
+        # float + int24 equivalence vs phase path, streamed
+        ok = True
+        for depth in (32, 24):
+            cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=depth,
+                             dither=DitherType.NONE, level_db=-1.0)
+            fstep, halo_bytes = make_fused_step(chain, cfg)
+            pstep = make_phase_step(chain, cfg)
+            h_f = jnp.asarray(init_fused_halo(chain, 2))
+            h_p = init_phase_hists(build_chain_plans(chain), 2)
+            for t in range(3):
+                x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+                of, pf, h_f = fstep(prep_input(x, g), h_f, t)
+                op, pp, h_p = pstep(x, h_p, jax.random.PRNGKey(t))
+                of, op = np.asarray(of), np.asarray(op)
+                skip = int(halo_bytes * 8 * ratio) + 1 if t == 0 else 0
+                if depth == 32:
+                    err = float(np.max(np.abs(of[skip:] - op[skip:])))
+                    bad = err > 2e-6
+                else:
+                    err = int(np.abs(of[skip:].astype(np.int64)
+                                     - op[skip:].astype(np.int64)).max())
+                    bad = err > 5
+                pk = abs(float(pf) - float(pp))
+                if bad or (t > 0 and pk > 1e-4):
+                    print(f"FAIL {rate_name}->{out_hz} depth={depth} "
+                          f"tile={t}: err={err} peak_delta={pk:.2e}")
+                    failures += 1
+                    ok = False
+
+        # TPDF statistics: compare dithered-quantized against the exact
+        # float path; the quantization error of TPDF + round has
+        # var = 2/12 + 1/12 = 0.25 LSB^2 -> RMS 0.5 LSB... measured
+        # against the UNROUNDED signal the error is dither+round:
+        # RMS = sqrt(3/12) ~= 0.5 LSB
+        cfg_f = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
+                           dither=DitherType.NONE, level_db=0.0)
+        cfg_d = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
+                           dither=DitherType.TPDF, level_db=0.0)
+        fstep_f, halo_bytes = make_fused_step(chain, cfg_f)
+        fstep_d, _ = make_fused_step(chain, cfg_d)
+        h_a = jnp.asarray(init_fused_halo(chain, 2))
+        h_b = jnp.asarray(init_fused_halo(chain, 2))
+        errs = []
+        outs = []
+        for t in range(2):
+            x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+            xf, _, h_a = fstep_f(prep_input(x, g), h_a, t)
+            xd, _, h_b = fstep_d(prep_input(x, g), h_b, t)
+            skip = int(halo_bytes * 8 * ratio) + 1 if t == 0 else 0
+            f = np.asarray(xf).astype(np.float64)[skip:] * (1 << 23)
+            e = np.asarray(xd).astype(np.float64)[skip:] - f
+            # random bytes are not a valid DSM stream: shallow chains keep
+            # enough broadband energy to exceed full scale, where the int
+            # path clips — restrict the noise statistics to headroom
+            e = e[np.abs(f) < (1 << 23) - 4]
+            errs.append(e)
+            outs.append(np.asarray(xd)[skip:])
+        e = np.concatenate(errs)
+        rms = float(np.sqrt(np.mean(e ** 2)))
+        mean = float(np.mean(e))
+        # dither var 2/12 + rounding var 1/12 = 0.25 -> RMS 0.5 LSB
+        if not (0.45 < rms < 0.55) or abs(mean) > 0.01:
+            print(f"FAIL {rate_name}->{out_hz} TPDF stats: "
+                  f"rms={rms:.4f} LSB mean={mean:.4f}")
+            failures += 1
+            ok = False
+        n = min(len(outs[0]), len(outs[1]))
+        if np.array_equal(outs[0][:n], outs[1][:n]):
+            print(f"FAIL {rate_name}->{out_hz}: tiles 0/1 share noise")
+            failures += 1
+            ok = False
+        if ok:
+            print(f"OK   {rate_name}->{out_hz}: head={n_head} G={g} "
+                  f"r_tail={r_tail} tpdf_rms={rms:.3f} LSB")
+
+    if args.perf:
+        print("\nthroughput (24-bit TPDF, 16 MiB tiles, device-only):")
+        digest = jax.jit(lambda p: jnp.stack(
+            [jnp.sum(p).astype(jnp.float32),
+             jnp.max(p).astype(jnp.float32)]))
+        from dsd2dxd_tpu.pipeline.engine import _cached_step
+        from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
+        for rate_name, out_hz in CELLS:
+            rate = DsdRate[rate_name]
+            big = 16 * 1024 * 1024
+            cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
+                             dither=DitherType.TPDF, level_db=0.0)
+            step, make_state, prep = _cached_step(
+                (FilterType.EQUIRIPPLE, rate, out_hz), cfg)
+            tiles = [chunked_device_put(prep(
+                rng.integers(0, 256, size=(2, big), dtype=np.uint8)))
+                for _ in range(6)]
+            jax.block_until_ready(tiles)
+
+            def run():
+                state = make_state()
+                t0 = time.perf_counter()
+                ds = []
+                for i, xt in enumerate(tiles):
+                    out, pk, state = step(xt, state, i)
+                    ds.append(digest(out))
+                np.asarray(jnp.stack(ds).sum(axis=0))
+                return time.perf_counter() - t0
+
+            run()
+            best = min(run() for _ in range(3))
+            xrt = len(tiles) * big * 8 / rate.hz / best
+            print(f"  {rate_name}->{out_hz}: {xrt:.0f}x RT")
+
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
