@@ -59,8 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convert DSD (.dsf/.dff/raw) to PCM/DXD "
                     "(WAV/AIFF/AIFC/FLAC/stdout), TPU-accelerated.",
     )
+    from dsd2dxd_tpu import __version__
+
     p.add_argument("inputs", nargs="*", metavar="infile/folder(s)|-",
                    help="input files/folders; '-' or none reads stdin")
+    # clap derives --version from the crate version (reference
+    # src/main.rs:41 #[command(version)])
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("-p", "--path", default=None, metavar="DIR",
                    help="output directory (must exist; subdirectories are "
                         "created; artwork is copied)")
@@ -118,9 +124,10 @@ def expand_inputs(raw_inputs: list[str], recurse: bool, log):
         if not pth.exists():
             if _looks_like_glob(s):
                 log.warning(f"Skipping unexpanded glob pattern: {s}")
-            else:
-                log.warning(f"Skipping nonexistent input: {s}")
-            continue
+                continue
+            # the reference's canonicalize()? aborts the whole run on a
+            # nonexistent path (src/main.rs:256-260)
+            raise Dsd2DxdError(f"Input does not exist: {s}")
         paths.append(pth.resolve())
     base_dir = compute_base_dir(paths) if paths else Path.cwd()
     files = find_dsd_files(paths, recurse) if paths else []
@@ -210,7 +217,12 @@ def run(argv=None) -> int:
         log.error(f"Output directory does not exist: {args.path}")
         return 1
 
-    use_stdin, files, base_dir = expand_inputs(args.inputs, args.recurse, log)
+    try:
+        use_stdin, files, base_dir = expand_inputs(args.inputs,
+                                                   args.recurse, log)
+    except Dsd2DxdError as e:
+        log.error(str(e))
+        return 1
     writes_stdout = enums["output"] is OutputType.STDOUT
     bars = MultiProgress(enabled=(sys.stderr.isatty() and not use_stdin
                                   and not writes_stdout))

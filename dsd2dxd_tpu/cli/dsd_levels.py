@@ -62,7 +62,12 @@ def run(argv=None) -> int:
     endian = Endianness.from_char(args.endianness)
     input_rate = DsdRate.from_multiplier(args.inrate)
 
-    use_stdin, files, _base = expand_inputs(args.inputs, args.recurse, log)
+    try:
+        use_stdin, files, _base = expand_inputs(args.inputs, args.recurse,
+                                                log)
+    except Dsd2DxdError as e:
+        log.error(str(e))
+        return 1
     bars = MultiProgress(enabled=sys.stderr.isatty() and not use_stdin)
     for h in log.handlers:
         ProgressAwareHandler(bars).wrap(h)

@@ -49,6 +49,21 @@ CancelFn = Callable[[], bool]
 _DEFAULT_TILE_TARGET = 4 * 1024 * 1024  # DSD bytes per channel per tile
 
 
+def _file_seed(path: Optional[Path]) -> int:
+    """Per-file dither seed base: derived from the input path so two
+    files never share a noise stream, while the same file converts
+    reproducibly across runs (the reference draws fresh `rand` entropy
+    per run — we trade that for auditability). DSD2DXD_SEED shifts the
+    whole noise universe, e.g. to produce an independent second take."""
+    import hashlib
+    import os
+
+    env = os.environ.get("DSD2DXD_SEED", "")
+    ident = str(path) if path is not None else "stdin"
+    h = hashlib.sha256(f"{env}:{ident}".encode()).digest()
+    return int.from_bytes(h[:4], "little") & 0x3FFFFFFF
+
+
 def _tile_bytes_for(chain, target_bytes: int) -> int:
     """Tile size (bytes/channel) aligned so every stage of the phase-major
     pipeline keeps integral lane counts (ops/phase.py)."""
@@ -314,6 +329,7 @@ class Converter:
                 import jax
 
                 state = jax.device_put(state, self.device)
+            seed_base = _file_seed(self.input_path)
 
             total_bytes = info.data_bytes_per_channel  # None for unbounded stdin
             consumed = 0
@@ -349,7 +365,7 @@ class Converter:
 
                 out, tile_peak, state = step(
                     chunked_device_put(prep(planes), self.device),
-                    state, tile_idx)
+                    state, (seed_base + tile_idx) & 0x7FFFFFFF)
                 tile_idx += 1
                 if pending is not None:
                     peak = self._drain(pending, sink, peak)
@@ -406,7 +422,11 @@ class Converter:
         valid_bits = planes.shape[1] * 8
         if info.sample_count is not None:
             valid_bits = min(valid_bits, info.sample_count)
-        out, peak = convert_stream_tiled(planes, chain, cfg, mesh)
+        import jax
+
+        out, peak = convert_stream_tiled(
+            planes, chain, cfg, mesh,
+            key=jax.random.PRNGKey(_file_seed(self.input_path)))
         if cancel is not None and cancel():
             raise CancelledError("Conversion canceled")
         n_total = int(valid_bits * ratio)

@@ -98,6 +98,29 @@ def test_missing_output_dir_errors(tone_dir):
     assert rc == 1
 
 
+def test_version_flag(capsys):
+    # clap derives --version (reference src/main.rs:41)
+    with pytest.raises(SystemExit) as ei:
+        cli.run(["--version"])
+    assert ei.value.code == 0
+    assert "dsd2dxd" in capsys.readouterr().out
+
+
+def test_nonexistent_input_hard_errors(tmp_path):
+    # the reference's canonicalize()? aborts the run (src/main.rs:256-260)
+    rc = cli.run(["-o", "w", "-p", str(tmp_path), "/no/such/file.dsf", "-q"])
+    assert rc == 1
+
+
+def test_unexpanded_glob_warns_and_skips(tone_dir, tmp_path):
+    # globs that the shell failed to expand are warned about and skipped,
+    # not fatal (reference src/main.rs:246-251)
+    rc = cli.run(["-o", "w", "-p", str(tmp_path), "*.nothing",
+                  str(tone_dir / "a.dsf"), "-q"])
+    assert rc == 0
+    assert (tmp_path / "a.wav").exists()
+
+
 def test_invalid_rate_pair_errors(tone_dir, tmp_path):
     # DSD64 -> 705600 is invalid (SURVEY.md §2.5 matrix)
     rc = cli.run(["-o", "w", "-r", "705600", "-p", str(tmp_path),

@@ -149,6 +149,39 @@ def test_raw_file_roundtrip(tone_dsf, tmp_path):
     assert abs(rms * np.sqrt(2) - 0.5) < 0.01
 
 
+def test_dither_seed_policy(tone_dsf, tmp_path, monkeypatch):
+    """Dither noise is reproducible per file but decorrelated across
+    files (seed derived from the input path; the reference uses fresh
+    entropy per run); DSD2DXD_SEED shifts the noise universe."""
+    import shutil
+
+    monkeypatch.delenv("DSD2DXD_SEED", raising=False)
+    copy = tmp_path / "copy.dsf"
+    shutil.copyfile(tone_dsf, copy)
+
+    def convert(path, sub):
+        out_dir = tmp_path / sub
+        out_dir.mkdir(exist_ok=True)
+        conv = Converter.from_container(
+            bit_depth=16, output=OutputType.WAV, level_db=0.0,
+            output_rate=88200, out_dir=out_dir, dither=DitherType.TPDF,
+            filt=FilterType.EQUIRIPPLE, append_rate=False,
+            base_dir=path.parent, input_path=path)
+        conv.do_conversion()
+        _, data = _read_wav(conv.output_path())
+        return np.frombuffer(data, dtype=np.int16)
+
+    a1 = convert(tone_dsf, "a1")
+    a2 = convert(tone_dsf, "a2")
+    np.testing.assert_array_equal(a1, a2)  # reproducible
+    b = convert(copy, "b")
+    assert a1.shape == b.shape
+    assert not np.array_equal(a1, b)  # different path -> different noise
+    monkeypatch.setenv("DSD2DXD_SEED", "take2")
+    a3 = convert(tone_dsf, "a3")
+    assert not np.array_equal(a1, a3)  # seed override -> new universe
+
+
 def test_non_byte_aligned_sample_count_trims(tone_dsf, tmp_path):
     """A DSF whose sample_count is not a multiple of 8 must trim at the
     exact bit count: the up-to-7 padding bits in the final byte are not
