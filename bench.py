@@ -24,6 +24,13 @@ needs are tiny relative to any real attachment: 0.71 MiB/s of input and
 --e2e` times the full loop (chunked H2D + step + on-device s24 packing +
 full D2H readback) through the tunnel for the record.
 
+`--config N` (1-5) instead runs BASELINE.md's end-to-end workload N
+through the real engine/CLI — container parse -> tunnel H2D -> device
+DSP -> D2H -> host dither/pack/FLAC -> file writes — on cached
+synthesized fixtures (the reference's stereo test files are stripped
+from the snapshot). These numbers INCLUDE the tunnel's transfer
+pathologies and are therefore lower bounds on any real attachment.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is against the driver's 1000x-real-time-per-chip north star
 (the reference publishes no numbers — BASELINE.md).
@@ -31,11 +38,60 @@ vs_baseline is against the driver's 1000x-real-time-per-chip north star
 
 from __future__ import annotations
 
+import argparse
+import io
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+_CACHE = Path(__file__).parent / "bench_cache"
+
+
+def _tone_planes(rate_hz: int, seconds: float, channels: int = 2):
+    """Cached DSM tone synthesis (the host delta-sigma loop runs ~0.25x
+    real-time): synthesize one second once, then tile it — the modulator
+    is near-periodic at 1 kHz so seams are inaudible and irrelevant to
+    throughput."""
+    _CACHE.mkdir(exist_ok=True)
+    base = _CACHE / f"tone_{rate_hz}_{channels}.npy"
+    if base.exists():
+        one = np.load(base)
+    else:
+        from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+        one = synth_tone_dsd(1000.0, 1.0, rate_hz, amplitude=0.5,
+                             channels=channels)
+        np.save(base, one)
+    reps = max(1, int(round(seconds)))
+    return np.tile(one, (1, reps))
+
+
+def _fixture_dsf(name: str, rate_hz: int, seconds: float,
+                 id3: bytes | None = None) -> Path:
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+
+    path = _CACHE / name
+    if not path.exists():
+        write_dsf(path, _tone_planes(rate_hz, seconds), rate_hz,
+                  lsb_first=True, id3=id3)
+    return path
+
+
+class _CountingOut(io.RawIOBase):
+    """Byte-counting stdout sink for the raw-stdout config."""
+
+    def __init__(self):
+        self.n = 0
+
+    def write(self, b) -> int:  # type: ignore[override]
+        self.n += len(b)
+        return len(b)
+
+    def flush(self) -> None:
+        pass
 
 
 def main(e2e: bool = False) -> None:
@@ -111,5 +167,150 @@ def main(e2e: bool = False) -> None:
     }))
 
 
+def _emit(metric: str, audio_s: float, wall_s: float) -> None:
+    xrt = audio_s / wall_s
+    print(json.dumps({
+        "metric": metric,
+        "value": round(xrt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 1000.0, 3),
+    }))
+
+
+def _convert(src: Path, out_dir: Path, **kw) -> float:
+    """One engine conversion; returns wall seconds."""
+    from dsd2dxd_tpu.pipeline.engine import Converter
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    conv = Converter.from_container(
+        out_dir=out_dir, append_rate=False, base_dir=src.parent,
+        input_path=src, level_db=0.0, **kw)
+    t0 = time.perf_counter()
+    conv.do_conversion()
+    return time.perf_counter() - t0
+
+
+def config_n(n: int) -> None:
+    """BASELINE.md end-to-end config N, through the tunnel (see module
+    docstring for why these are lower bounds)."""
+    import tempfile
+
+    from dsd2dxd_tpu.formats.dsd_types import DitherType, OutputType
+
+    tmp = Path(tempfile.mkdtemp(prefix="dsd2dxd_bench_"))
+    if n == 1:
+        # DSD64 planar .dsf -> 24-bit 352.8k WAV, TPDF
+        src = _fixture_dsf("bench64.dsf", 2_822_400, 24.0)
+        audio = 24.0
+        _convert(src, tmp / "w", bit_depth=24, output=OutputType.WAV,
+                 output_rate=352800, dither=DitherType.TPDF)  # warm compile
+        wall = _convert(src, tmp / "w2", bit_depth=24, output=OutputType.WAV,
+                        output_rate=352800, dither=DitherType.TPDF)
+        _emit("xrt_cfg1_dsd64_dsf_to_352k8_24bit_wav_e2e", audio, wall)
+    elif n == 2:
+        # raw interleaved DSD64 stdin -> raw s24le 176.4k stdout
+        from dsd2dxd_tpu.formats.dsd_types import (
+            DsdRate,
+            Endianness,
+            FilterType,
+            FmtType,
+        )
+        from dsd2dxd_tpu.pipeline.engine import Converter
+
+        planes = _tone_planes(2_822_400, 24.0)
+        audio = planes.shape[1] * 8 / 2_822_400
+        raw = _CACHE / "bench64_i.dsd"
+        if not raw.exists():
+            # byte-interleaved MSB-first, the 1kHz_stereo_i.dsd layout
+            inter = np.empty((planes.shape[1] * 2,), dtype=np.uint8)
+            inter[0::2] = planes[0]
+            inter[1::2] = planes[1]
+            raw.write_bytes(inter.tobytes())
+
+        def run_once() -> float:
+            conv = Converter.new(
+                bit_depth=24, output=OutputType.STDOUT, level_db=0.0,
+                output_rate=176400, out_dir=None, dither=DitherType.TPDF,
+                fmt=FmtType.INTERLEAVED, endian=Endianness.MSB_FIRST,
+                input_rate=DsdRate.DSD64, block_size=4096, channels=2,
+                filt=FilterType.EQUIRIPPLE, append_rate=False,
+                base_dir=tmp, input_path=raw)
+            sink = _CountingOut()
+            real = sys.stdout
+            sys.stdout = type("S", (), {"buffer": sink})()  # engine writes here
+            try:
+                t0 = time.perf_counter()
+                conv.do_conversion()
+                dt = time.perf_counter() - t0
+            finally:
+                sys.stdout = real
+            assert sink.n > 0
+            return dt
+
+        run_once()
+        _emit("xrt_cfg2_raw_i_dsd64_to_s24le_176k4_stdout_e2e", audio,
+              run_once())
+    elif n == 3:
+        # DSD128 .dsf -> 88.2k FLAC, 20-bit, NJAD
+        src = _fixture_dsf("bench128.dsf", 5_644_800, 16.0)
+        audio = 16.0
+        _convert(src, tmp / "w", bit_depth=20, output=OutputType.FLAC,
+                 output_rate=88200, dither=DitherType.NJAD)
+        wall = _convert(src, tmp / "w2", bit_depth=20, output=OutputType.FLAC,
+                        output_rate=88200, dither=DitherType.NJAD)
+        _emit("xrt_cfg3_dsd128_dsf_to_88k2_flac_20bit_njad_e2e", audio, wall)
+    elif n == 4:
+        # DSD256 -> 32f AIFF at a 48k-multiple rate, plus DSD512 -> 352.8k
+        # (the only valid DSD512 cell); combined wall clock
+        src256 = _fixture_dsf("bench256.dsf", 11_289_600, 8.0)
+        src512 = _fixture_dsf("bench512.dsf", 22_579_200, 8.0)
+        kw256 = dict(bit_depth=32, output=OutputType.AIFF, output_rate=384000,
+                     dither=DitherType.FPD)
+        kw512 = dict(bit_depth=32, output=OutputType.AIFF, output_rate=352800,
+                     dither=DitherType.FPD)
+        _convert(src256, tmp / "w", **kw256)
+        _convert(src512, tmp / "w", **kw512)
+        wall = (_convert(src256, tmp / "w2", **kw256)
+                + _convert(src512, tmp / "w2", **kw512))
+        _emit("xrt_cfg4_dsd256_384k_dsd512_352k8_f32_aiff_e2e", 16.0, wall)
+    elif n == 5:
+        # recursive batch -> 24-bit FLAC with ID3 copy, multi-stream
+        from dsd2dxd_tpu.cli.dsd2dxd import run as cli_run
+        from dsd2dxd_tpu.formats.dff import write_dff
+        from dsd2dxd_tpu.formats.id3 import Id3Frame, Id3Tag
+
+        tag = Id3Tag(frames=[Id3Frame.text_frame("TIT2", "1kHz Test Tone"),
+                             Id3Frame.text_frame("TPE1", "bench"),
+                             Id3Frame.text_frame("TALB", "Bench Tones")])
+        batch = _CACHE / "batch"
+        (batch / "sub").mkdir(parents=True, exist_ok=True)
+        _fixture_dsf("batch/a64.dsf", 2_822_400, 12.0, id3=tag.to_bytes())
+        _fixture_dsf("batch/sub/b64.dsf", 2_822_400, 12.0)
+        dff = batch / "c128.dff"
+        if not dff.exists():
+            write_dff(dff, _tone_planes(5_644_800, 8.0), 5_644_800,
+                      id3=tag.to_bytes())
+        audio = 12.0 + 12.0 + 8.0
+        for sub in ("w", "w2"):
+            out = tmp / sub
+            out.mkdir()
+            t0 = time.perf_counter()
+            rc = cli_run(["-R", "-o", "f", "-q", "-p", str(out), str(batch)])
+            wall = time.perf_counter() - t0
+            assert rc == 0
+            assert len(list(out.rglob("*.flac"))) == 3
+        _emit("xrt_cfg5_recursive_batch_flac_id3_e2e", audio, wall)
+    else:
+        raise SystemExit(f"unknown config {n}")
+
+
 if __name__ == "__main__":
-    main(e2e="--e2e" in sys.argv[1:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--e2e", action="store_true")
+    ap.add_argument("--config", type=int, default=None,
+                    help="run BASELINE.md end-to-end config 1-5")
+    a = ap.parse_args()
+    if a.config is not None:
+        config_n(a.config)
+    else:
+        main(e2e=a.e2e)

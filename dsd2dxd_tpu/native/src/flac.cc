@@ -20,6 +20,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#if defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#endif
 
 #define DSDKIT_API extern "C" __attribute__((visibility("default")))
 
@@ -42,13 +45,25 @@ class BitWriter {
     }
   }
 
+  // drain whole big-endian words: one 4-byte store instead of four
+  // bounds-checked byte pushes (the Rice loop lives here)
+  inline void flush_words() {
+    while (nbits >= 32) {
+      nbits -= 32;
+      uint32_t be = __builtin_bswap32(uint32_t(acc >> nbits));
+      size_t sz = buf.size();
+      buf.resize(sz + 4);
+      memcpy(buf.data() + sz, &be, 4);
+    }
+  }
+
   inline void put(uint32_t value, int bits) {
     // fast path: stays within the 64-bit accumulator
-    if (nbits + bits > 57) flush_bytes();
+    if (nbits + bits > 57) flush_words();
     acc = (acc << bits) | (uint64_t(value) & ((bits >= 32) ? 0xFFFFFFFFull
                                                            : ((1ull << bits) - 1)));
     nbits += bits;
-    if (nbits >= 32) flush_bytes();
+    if (nbits >= 32) flush_words();
   }
 
   inline void put_signed(int32_t value, int bits) { put(uint32_t(value), bits); }
@@ -129,42 +144,56 @@ struct MD5 {
         0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039, 0x655b59c3, 0x8f0ccc92,
         0xffeff47d, 0x85845dd1, 0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
         0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
-    static const int S[64] = {7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
-                              7, 12, 17, 22, 5, 9,  14, 20, 5, 9,  14, 20,
-                              5, 9,  14, 20, 5, 9,  14, 20, 4, 11, 16, 23,
-                              4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
-                              6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
-                              6, 10, 15, 21};
     uint32_t m[16];
-    for (int i = 0; i < 16; ++i)
-      m[i] = uint32_t(p[i * 4]) | (uint32_t(p[i * 4 + 1]) << 8) |
-             (uint32_t(p[i * 4 + 2]) << 16) | (uint32_t(p[i * 4 + 3]) << 24);
+    memcpy(m, p, 64);  // little-endian host: words load directly
     uint32_t A = a, B = b, C = c, D = d;
-    for (int i = 0; i < 64; ++i) {
-      uint32_t f;
-      int g;
-      if (i < 16) { f = (B & C) | (~B & D); g = i; }
-      else if (i < 32) { f = (D & B) | (~D & C); g = (5 * i + 1) & 15; }
-      else if (i < 48) { f = B ^ C ^ D; g = (3 * i + 5) & 15; }
-      else { f = C ^ (B | ~D); g = (7 * i) & 15; }
-      uint32_t tmp = D;
-      D = C;
-      C = B;
-      B = B + rotl(A + f + K[i] + m[g], S[i]);
-      A = tmp;
+    // unrolled per-group rounds: the generic loop's per-iteration
+    // branching on i cost ~30% of the digest time
+#define MD5_STEP(f, w, x, y, zz, g, s, i)                     \
+  w = x + rotl(w + (f) + K[i] + m[g], s)
+    for (int i = 0; i < 16; i += 4) {
+      MD5_STEP((B & C) | (~B & D), A, B, C, D, i, 7, i);
+      MD5_STEP((A & B) | (~A & C), D, A, B, C, i + 1, 12, i + 1);
+      MD5_STEP((D & A) | (~D & B), C, D, A, B, i + 2, 17, i + 2);
+      MD5_STEP((C & D) | (~C & A), B, C, D, A, i + 3, 22, i + 3);
     }
+    for (int i = 16; i < 32; i += 4) {
+      MD5_STEP((D & B) | (~D & C), A, B, C, D, (5 * i + 1) & 15, 5, i);
+      MD5_STEP((C & A) | (~C & B), D, A, B, C, (5 * i + 6) & 15, 9, i + 1);
+      MD5_STEP((B & D) | (~B & A), C, D, A, B, (5 * i + 11) & 15, 14, i + 2);
+      MD5_STEP((A & C) | (~A & D), B, C, D, A, (5 * i + 16) & 15, 20, i + 3);
+    }
+    for (int i = 32; i < 48; i += 4) {
+      MD5_STEP(B ^ C ^ D, A, B, C, D, (3 * i + 5) & 15, 4, i);
+      MD5_STEP(A ^ B ^ C, D, A, B, C, (3 * i + 8) & 15, 11, i + 1);
+      MD5_STEP(D ^ A ^ B, C, D, A, B, (3 * i + 11) & 15, 16, i + 2);
+      MD5_STEP(C ^ D ^ A, B, C, D, A, (3 * i + 14) & 15, 23, i + 3);
+    }
+    for (int i = 48; i < 64; i += 4) {
+      MD5_STEP(C ^ (B | ~D), A, B, C, D, (7 * i) & 15, 6, i);
+      MD5_STEP(B ^ (A | ~C), D, A, B, C, (7 * (i + 1)) & 15, 10, i + 1);
+      MD5_STEP(A ^ (D | ~B), C, D, A, B, (7 * (i + 2)) & 15, 15, i + 2);
+      MD5_STEP(D ^ (C | ~A), B, C, D, A, (7 * (i + 3)) & 15, 21, i + 3);
+    }
+#undef MD5_STEP
     a += A; b += B; c += C; d += D;
   }
 
   void update(const uint8_t* p, size_t n) {
     total += n;
-    while (n) {
+    if (fill) {
       size_t take = std::min(n, size_t(64) - fill);
       memcpy(chunk + fill, p, take);
       fill += take;
       p += take;
       n -= take;
       if (fill == 64) { process(chunk); fill = 0; }
+    }
+    // bulk: digest straight from the caller's buffer, no staging copy
+    while (n >= 64) { process(p); p += 64; n -= 64; }
+    if (n) {
+      memcpy(chunk, p, n);
+      fill = n;
     }
   }
 
@@ -205,14 +234,26 @@ uint64_t est_cost(uint64_t sum, uint64_t n, int k) {
 }
 
 void write_rice(BitWriter& bw, const uint32_t* z, size_t n, int k) {
+  // fast path: quotient+stop-bit+remainder emitted as ONE put when it
+  // fits 32 bits (the overwhelmingly common case: mean quotient < 1)
   if (k) {
     uint32_t mask = (1u << k) - 1;
     for (size_t i = 0; i < n; ++i) {
-      bw.put_unary(z[i] >> k);
-      bw.put(z[i] & mask, k);
+      uint32_t q = z[i] >> k;
+      int bits = int(q) + 1 + k;
+      if (bits <= 32) {
+        bw.put((1u << k) | (z[i] & mask), bits);
+      } else {
+        bw.put_unary(q);
+        bw.put(z[i] & mask, k);
+      }
     }
   } else {
-    for (size_t i = 0; i < n; ++i) bw.put_unary(z[i]);
+    for (size_t i = 0; i < n; ++i) {
+      uint32_t q = z[i];
+      if (q < 32) bw.put(1, int(q) + 1);
+      else bw.put_unary(q);
+    }
   }
 }
 
@@ -226,7 +267,8 @@ void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
          (block_size >> (max_po + 1)) > uint32_t(pred_order))
     ++max_po;
   size_t n_res = block_size - pred_order;
-  std::vector<uint32_t> z(n_res);
+  static thread_local std::vector<uint32_t> z;
+  z.resize(n_res);
   uint32_t parts_max = 1u << max_po;
   size_t cnt_min = block_size / parts_max;
   std::vector<uint64_t> sums(parts_max, 0);
@@ -298,6 +340,18 @@ uint64_t abs_residual_sum(const std::vector<int32_t>& r, size_t from) {
   return s;
 }
 
+// Order-2 |residual| sum over every other sample — the stereo-mode cost
+// heuristic only needs the RELATIVE ordering of L/R/mid/side, and this
+// is 4 calls per frame.
+uint64_t order2_sum(const int32_t* x, size_t n) {
+  uint64_t s = 0;
+  for (size_t i = 2; i < n; i += 2) {
+    int64_t d = int64_t(x[i]) - 2 * int64_t(x[i - 1]) + int64_t(x[i - 2]);
+    s += uint64_t(d < 0 ? -d : d);
+  }
+  return s;
+}
+
 // One pass: |residual| sums for fixed orders 0..4 via running differences.
 void fixed_order_sums(const int32_t* x, size_t n, uint64_t out[5]) {
   for (int o = 0; o < 5; ++o) out[o] = 0;
@@ -348,9 +402,12 @@ struct LpcModel {
   bool ok = false;
 };
 
-// Cached Tukey(0.5) window (depends only on the block length).
-const std::vector<double>& tukey_window(size_t n) {
-  static thread_local std::vector<double> cache;
+// Cached Tukey(0.5) window (depends only on the block length). Float:
+// the window feeds the ANALYSIS autocorrelation only — coefficients are
+// quantized to 15 bits afterwards, so f32 analysis precision is ample
+// and the 8-accumulator product loop vectorizes twice as wide.
+const std::vector<float>& tukey_window(size_t n) {
+  static thread_local std::vector<float> cache;
   static thread_local size_t cached_n = 0;
   if (cached_n != n) {
     cache.resize(n);
@@ -363,7 +420,7 @@ const std::vector<double>& tukey_window(size_t n) {
       else if (i >= n - taper)
         win = 0.5 * (1.0 + cos(3.14159265358979323846 *
                                (double(i - (n - taper)) / taper)));
-      cache[i] = win;
+      cache[i] = float(win);
     }
     cached_n = n;
   }
@@ -373,14 +430,63 @@ const std::vector<double>& tukey_window(size_t n) {
 LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order) {
   LpcModel m;
   if (n < size_t(max_order) * 2) return m;
-  const std::vector<double>& win = tukey_window(n);
-  std::vector<double> w(n);
+  const std::vector<float>& win = tukey_window(n);
+  static thread_local std::vector<double> w;
+  w.resize(n);
   for (size_t i = 0; i < n; ++i) w[i] = double(x[i]) * win[i];
+  // Single-pass autocorrelation in DOUBLE (f32 analysis collapses the
+  // Levinson error term on near-tonal material — exactly what dithered
+  // test tones are — and cost ~9% compression when tried): all lags
+  // accumulate while w[i-lag..i] is hot in L1, 4-wide with FMA when
+  // available (the per-lag re-scan was the encoder's top profile cost).
   double ac[33] = {0};
-  for (int lag = 0; lag <= max_order; ++lag) {
-    double s = 0;
-    for (size_t i = lag; i < n; ++i) s += w[i] * w[i - lag];
-    ac[lag] = s;
+  {
+    const double* p = w.data();
+    if (max_order == 8 && n > 16) {
+#if defined(__AVX2__) && defined(__FMA__)
+      __m256d v[9];
+      for (int l = 0; l <= 8; ++l) v[l] = _mm256_setzero_pd();
+      size_t i = 8;
+      for (; i + 4 <= n; i += 4) {
+        __m256d wi = _mm256_loadu_pd(p + i);
+        for (int l = 0; l <= 8; ++l)
+          v[l] = _mm256_fmadd_pd(wi, _mm256_loadu_pd(p + i - l), v[l]);
+      }
+      for (int l = 0; l <= 8; ++l) {
+        double t[4];
+        _mm256_storeu_pd(t, v[l]);
+        ac[l] = t[0] + t[1] + t[2] + t[3];
+      }
+      for (; i < n; ++i)
+        for (int l = 0; l <= 8; ++l) ac[l] += p[i] * p[i - l];
+#else
+      double a0 = 0, a1 = 0, a2 = 0, a3 = 0, a4 = 0, a5 = 0, a6 = 0,
+             a7 = 0, a8 = 0;
+      for (size_t i = 8; i < n; ++i) {
+        double wi = p[i];
+        a0 += wi * p[i];
+        a1 += wi * p[i - 1];
+        a2 += wi * p[i - 2];
+        a3 += wi * p[i - 3];
+        a4 += wi * p[i - 4];
+        a5 += wi * p[i - 5];
+        a6 += wi * p[i - 6];
+        a7 += wi * p[i - 7];
+        a8 += wi * p[i - 8];
+      }
+      ac[0] = a0; ac[1] = a1; ac[2] = a2; ac[3] = a3; ac[4] = a4;
+      ac[5] = a5; ac[6] = a6; ac[7] = a7; ac[8] = a8;
+#endif
+      // the skipped head (i < 8) contributes to low lags
+      for (size_t j = 0; j < 8 && j < n; ++j)
+        for (int lag = 0; lag <= int(j); ++lag) ac[lag] += p[j] * p[j - lag];
+    } else {
+      for (int lag = 0; lag <= max_order; ++lag) {
+        double s = 0;
+        for (size_t k = lag; k < n; ++k) s += p[k] * p[k - lag];
+        ac[lag] = s;
+      }
+    }
   }
   if (ac[0] <= 0) return m;
   // Levinson-Durbin
@@ -426,6 +532,17 @@ LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order) {
 }
 
 void lpc_residual(const int32_t* x, size_t n, const LpcModel& m, int32_t* out) {
+  if (m.order == 8) {  // the default analysis order: unrolled MACs
+    const int32_t* q = m.qcoef;
+    for (size_t i = 8; i < n; ++i) {
+      int64_t pred = int64_t(q[0]) * x[i - 1] + int64_t(q[1]) * x[i - 2] +
+                     int64_t(q[2]) * x[i - 3] + int64_t(q[3]) * x[i - 4] +
+                     int64_t(q[4]) * x[i - 5] + int64_t(q[5]) * x[i - 6] +
+                     int64_t(q[6]) * x[i - 7] + int64_t(q[7]) * x[i - 8];
+      out[i] = x[i] - int32_t(pred >> m.shift);
+    }
+    return;
+  }
   for (size_t i = m.order; i < n; ++i) {
     int64_t pred = 0;
     for (int j = 0; j < m.order; ++j) pred += int64_t(m.qcoef[j]) * x[i - 1 - j];
@@ -453,12 +570,13 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
   for (int order = 1; order <= 4 && size_t(order) < n; ++order) {
     if (sums[order] < best_sum) { best_sum = sums[order]; best_order = order; }
   }
-  std::vector<int32_t> best_res(n);
+  static thread_local std::vector<int32_t> best_res;
+  best_res.resize(n);
   fixed_residual(x, n, best_order, best_res.data());
   // LPC candidate
   LpcModel lpc = lpc_analyze(x, n, 8);
   bool use_lpc = false;
-  std::vector<int32_t> lres;
+  static thread_local std::vector<int32_t> lres;
   if (lpc.ok && n > size_t(lpc.order) * 2) {
     lres.resize(n);
     lpc_residual(x, n, lpc, lres.data());
@@ -541,13 +659,27 @@ struct Encoder {
   std::vector<uint8_t> out;
 
   void feed(const int32_t* samples, size_t n_frames) {
-    // MD5 over raw little-endian samples, ceil(bps/8) bytes each
+    // MD5 over raw little-endian samples, ceil(bps/8) bytes each; packed
+    // into a reused staging buffer with a specialized 24-bit loop (the
+    // per-feed fresh vector + generic inner loop showed in the profile)
     size_t bytes_per = (bps + 7) / 8;
-    std::vector<uint8_t> raw(n_frames * channels * bytes_per);
-    size_t o = 0;
-    for (size_t i = 0; i < n_frames * channels; ++i) {
-      int32_t v = samples[i];
-      for (size_t b = 0; b < bytes_per; ++b) raw[o++] = uint8_t(v >> (8 * b));
+    size_t n_vals = n_frames * channels;
+    static thread_local std::vector<uint8_t> raw;
+    raw.resize(n_vals * bytes_per);
+    uint8_t* o = raw.data();
+    if (bytes_per == 3) {
+      for (size_t i = 0; i < n_vals; ++i) {
+        uint32_t v = uint32_t(samples[i]);
+        o[0] = uint8_t(v);
+        o[1] = uint8_t(v >> 8);
+        o[2] = uint8_t(v >> 16);
+        o += 3;
+      }
+    } else {
+      for (size_t i = 0; i < n_vals; ++i) {
+        int32_t v = samples[i];
+        for (size_t b = 0; b < bytes_per; ++b) *o++ = uint8_t(v >> (8 * b));
+      }
     }
     md5.update(raw.data(), raw.size());
     total_samples += n_frames;
@@ -612,13 +744,16 @@ struct Encoder {
   // frame index), so feed() can fan blocks out across cores.
   std::vector<uint8_t> encode_frame(const int32_t* inter, uint32_t bs,
                                     uint64_t index) const {
-    // deinterleave
-    std::vector<std::vector<int32_t>> ch(channels, std::vector<int32_t>(bs));
+    // deinterleave into per-thread scratch (feed() fans frames across
+    // worker threads; thread_local keeps encode_frame allocation-free)
+    static thread_local std::vector<std::vector<int32_t>> ch;
+    ch.resize(channels);
+    for (uint32_t c = 0; c < channels; ++c) ch[c].resize(bs);
     for (uint32_t i = 0; i < bs; ++i)
       for (uint32_t c = 0; c < channels; ++c) ch[c][i] = inter[i * channels + c];
 
     int assignment = int(channels) - 1;  // independent
-    std::vector<int32_t> mid, side;
+    static thread_local std::vector<int32_t> mid, side;
     if (channels == 2) {
       mid.resize(bs);
       side.resize(bs);
@@ -627,12 +762,10 @@ struct Encoder {
         side[i] = ch[0][i] - ch[1][i];
       }
       // order-2 abs-sum heuristic for channel mode choice (single pass)
-      auto cost = [&](const std::vector<int32_t>& v) {
-        uint64_t s[5];
-        fixed_order_sums(v.data(), v.size(), s);
-        return s[2];
-      };
-      uint64_t cl = cost(ch[0]), cr = cost(ch[1]), cm = cost(mid), cs = cost(side);
+      uint64_t cl = order2_sum(ch[0].data(), bs);
+      uint64_t cr = order2_sum(ch[1].data(), bs);
+      uint64_t cm = order2_sum(mid.data(), bs);
+      uint64_t cs = order2_sum(side.data(), bs);
       uint64_t independent = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;
       uint64_t best = std::min(std::min(independent, ms), std::min(ls, rs));
       if (best == ls) assignment = 8;
