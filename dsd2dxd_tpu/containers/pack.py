@@ -1,10 +1,11 @@
 """PCM sample packing: int32/float32 arrays -> wire bytes.
 
-This is the host byte-hot path (SURVEY.md §2.3 item 3). A native C++
-implementation is used when the extension is built
-(``dsd2dxd_tpu.native``); the numpy fallback here is already memory-bound
-and correct, the native path exists to keep multi-stream batches off the
-GIL.
+This is the host byte path (SURVEY.md §2.3 item 3). The HOT case —
+20/24-bit int output — is packed ON DEVICE into byte planes
+(pipeline/transfer.py `pack24_device`, wired into the engine's drain),
+shipping 3 bytes/sample over the wire; the host then only interleaves.
+The numpy implementations here serve the remaining cases (16-bit, float,
+the FLAC feed, tile-sharded mode) and are memory-bound single-pass.
 
 Conventions:
 - 16/24-bit: two's complement little-endian (WAV) or big-endian (AIFF).

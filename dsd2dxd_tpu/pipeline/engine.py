@@ -169,6 +169,7 @@ class Converter:
         # resolved at call time so tests can shrink the module default
         self.tile_target_bytes = (tile_target_bytes if tile_target_bytes
                                   else _DEFAULT_TILE_TARGET)
+        self._packed = None  # (shift, big_endian, write_packed) 24-bit drain
         self._out_path = self._build_output_path()
 
     # -- construction mirroring the reference API ---------------------------
@@ -436,16 +437,28 @@ class Converter:
             progress(ProgressUpdate(percent=ONE_HUNDRED_PERCENT))
         return float(peak)
 
-    @staticmethod
-    def _drain(pending, sink, peak: float) -> float:
+    def _drain(self, pending, sink, peak: float) -> float:
         out, tile_peak, n_valid = pending
         tile_peak = float(tile_peak)
         # Peak over padded tail is harmless: padding is the DSD idle
         # pattern (silence), which cannot raise the max.
         peak = max(peak, tile_peak)
         if sink is not None and n_valid > 0:
-            host = np.asarray(out[:n_valid])
-            sink(host)
+            if self._packed is not None:
+                # 20/24-bit drain: pack to 3 byte-planes ON DEVICE, ship
+                # 3 bytes/sample over the wire (25% less D2H than int32),
+                # interleave on host (SURVEY.md §2.3 item 3)
+                from dsd2dxd_tpu.pipeline.transfer import (
+                    pack24_jitted,
+                    unpack24_host,
+                )
+
+                shift, big_endian, write_packed = self._packed
+                rows = pack24_jitted(shift)(out[:n_valid])
+                write_packed(unpack24_host(np.asarray(rows), big_endian))
+            else:
+                host = np.asarray(out[:n_valid])
+                sink(host)
         return peak
 
     def _make_sink(self, write):
@@ -480,12 +493,17 @@ class Converter:
             if tag is not None:
                 tag.append_to_album(f" [{self.output_rate}]")
                 id3 = tag.to_bytes()
+        pack24_ok = (self.bit_depth in (20, 24)
+                     and self.dither is not DitherType.NJAD)
+        shift = 4 if self.bit_depth == 20 else 0
         if self._out_path is None:
             out = sys.stdout.buffer
 
             def write(tile: np.ndarray) -> None:
                 out.write(pack(tile, self.bit_depth, big_endian=False))
 
+            if pack24_ok:
+                self._packed = (shift, False, out.write)
             sink, cleanup = self._make_sink(write)
             try:
                 self._run(cancel, progress, sink)
@@ -496,6 +514,9 @@ class Converter:
         self._out_path.parent.mkdir(parents=True, exist_ok=True)
         with open(self._out_path, "wb") as f:
             writer = self._make_writer(f, id3)
+            if pack24_ok and hasattr(writer, "write_packed"):
+                big_endian = self.output in (OutputType.AIFF, OutputType.AIFC)
+                self._packed = (shift, big_endian, writer.write_packed)
             sink, cleanup = self._make_sink(writer.write)
             try:
                 self._run(cancel, progress, sink)

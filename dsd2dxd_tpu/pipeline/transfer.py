@@ -44,14 +44,16 @@ def chunked_device_put(arr: np.ndarray, device=None,
     return f(*dev_chunks)
 
 
-def pack24_device(samples: jax.Array) -> jax.Array:
-    """(frames, C) int32 -> (3, frames*C) uint8 little-endian byte planes.
+def pack24_device(samples: jax.Array, shift: int = 0) -> jax.Array:
+    """(frames, C) int32 -> (3, frames*C) uint8 byte planes (low/mid/high).
 
     Planar byte rows keep the lane dimension large (TPU-friendly) and cut
-    D2H volume 25% vs int32. Currently used by bench.py's --e2e mode;
-    the engine ships int32 tiles and packs on host (wiring this into the
-    24-bit drain path is a known follow-up)."""
+    D2H volume 25% vs int32. ``shift`` pre-shifts values left (20-bit
+    rides in a 24-bit container as value << 4). The engine's 20/24-bit
+    drain packs on device and interleaves on host (`unpack24_host`)."""
     v = samples.reshape(-1).astype(jnp.uint32)
+    if shift:
+        v = v << shift
     return jnp.stack([
         (v & 0xFF).astype(jnp.uint8),
         ((v >> 8) & 0xFF).astype(jnp.uint8),
@@ -59,6 +61,14 @@ def pack24_device(samples: jax.Array) -> jax.Array:
     ])
 
 
-def unpack24_host(rows: np.ndarray) -> bytes:
-    """(3, N) uint8 byte planes -> s24le wire bytes."""
-    return np.ascontiguousarray(np.asarray(rows).T).tobytes()
+@lru_cache(maxsize=8)
+def pack24_jitted(shift: int):
+    return jax.jit(lambda s: pack24_device(s, shift))
+
+
+def unpack24_host(rows: np.ndarray, big_endian: bool = False) -> bytes:
+    """(3, N) uint8 byte planes -> 24-bit wire bytes (LE or BE)."""
+    rows = np.asarray(rows)
+    if big_endian:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows.T).tobytes()
