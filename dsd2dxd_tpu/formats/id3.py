@@ -120,6 +120,30 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
             (ext,) = struct.unpack(">I", body[0:4])
             ext += 4
         off = min(ext, len(body))
+    if major == 2:
+        # ID3v2.2: 3-char frame IDs, 3-byte sizes, no frame flags. Frames
+        # are upgraded to their v2.3 IDs so the rest of the pipeline (and
+        # tag re-serialization into outputs) sees one dialect.
+        while off + 6 <= len(body):
+            fid = body[off:off + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            try:
+                fid_s = fid.decode("latin-1")
+            except UnicodeDecodeError:
+                break
+            if not all(("A" <= c <= "Z") or ("0" <= c <= "9")
+                       for c in fid_s):
+                break
+            size = (body[off + 3] << 16) | (body[off + 4] << 8) | body[off + 5]
+            data = body[off + 6:off + 6 + size]
+            if len(data) < size:
+                tag.truncated = True
+                break
+            tag.frames.append(Id3Frame(_V22_IDS.get(fid_s, fid_s + "?"),
+                                       data))
+            off += 6 + size
+        return tag
     while off + 10 <= len(body):
         fid = body[off:off + 4]
         if fid == b"\x00\x00\x00\x00":
@@ -142,6 +166,17 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
         tag.frames.append(Id3Frame(fid_s, data, fflags))
         off += 10 + size
     return tag
+
+
+# v2.2 (3-char) -> v2.3 (4-char) frame IDs for the frames the pipeline
+# touches; unknown v2.2 frames get a '?' suffix so they can't collide
+# with real v2.3 IDs when re-serialized.
+_V22_IDS = {
+    "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB", "TRK": "TRCK",
+    "TYE": "TYER", "TCO": "TCON", "TP2": "TPE2", "TCM": "TCOM",
+    "TPA": "TPOS", "COM": "COMM", "PIC": "APIC", "TT1": "TIT1",
+    "TT3": "TIT3", "TP3": "TPE3", "TBP": "TBPM", "TEN": "TENC",
+}
 
 
 def id3_to_vorbis_comments(tag: Id3Tag) -> list[tuple[str, str]]:
