@@ -21,9 +21,13 @@ orders of magnitude):
 - 44.1k-multiple targets (pure 2^r decimation, SURVEY.md §2.5): a chain
   of cheap half-rate decimators, then one final "quality" /2 stage whose
   response defines the bank's character.
-- 48k-multiple targets (x 5*2^q / (147*2^p)): cheap /2 stages down to the
-  DSD64 base rate, a /7 stage, then a final rational L/21 polyphase
-  quality stage (147 = 7*21).
+- 48k-multiple targets: the SAME pure-2^r chain down to the 44.1k-family
+  rate with the matching exponent (base = out*147/160, e.g. 96k -> 88.2k),
+  then one fixed x160/147 family-conversion polyphase stage on the small
+  PCM output. The head is therefore fused-kernel eligible end to end
+  (ops/fused.py) and carries the bank's character; the conversion stage
+  is transparent (its transition sits entirely above the head's) and its
+  stopband kills every image that could fold back into the audio band.
 
 All design happens in float64; results are cached on disk under
 ``filters/cache`` keyed by a content hash of the design parameters.
@@ -47,7 +51,7 @@ from dsd2dxd_tpu.formats.dsd_types import (
 )
 
 _CACHE_DIR = Path(__file__).parent / "cache"
-_DESIGN_VERSION = 4  # bump to invalidate every cached table
+_DESIGN_VERSION = 5  # bump to invalidate every cached table
 
 
 @dataclass(frozen=True)
@@ -245,20 +249,36 @@ def _chain_44k(filt: FilterType, in_hz: int, out_hz: int) -> list[Stage]:
     return stages
 
 
+def _family_stage(base_hz: int, out_hz: int) -> Stage:
+    """The x160/147 44.1k->48k family conversion stage (44100*160/147 =
+    48000), applied AFTER the bank's own chain has decimated to
+    base = out*147/160.
+
+    Spec: pass everything the head can emit — the head's quality stage
+    transitions out at 1.05*base_nyq — and stop at (out_hz - 20 kHz), the
+    lowest frequency whose post-/147 fold can land inside the audio band
+    (images of head-transition content at k*base +- f land >= out-20k for
+    every k >= 1 that matters; see tests/test_filters.py alias oracle,
+    which verifies the full cascade numerically). The transition is wide
+    (≈0.5..0.85 of base), so the filter stays short (~2-3k taps, ~15 per
+    output phase) despite the 160x virtual rate.
+    """
+    fs_virtual = float(base_hz) * 160.0
+    pass_hz = 0.525 * base_hz  # = 1.05 * base Nyquist
+    stop_hz = float(out_hz - 20_000)
+    taps = _verified_lowpass(fs_virtual, pass_hz, stop_hz, 125.0)
+    return Stage(taps=taps * 160.0, L=160, M=147)
+
+
 def _chain_48k(filt: FilterType, in_hz: int, out_hz: int) -> list[Stage]:
-    # in = DSD64 * 2^p ; out = 48k * 2^q. Plan: /2 * p down to the DSD64
-    # base rate, /7 to 403200, then the rational L/21 quality stage.
-    protect = 0.55 * out_hz / 2.0
-    stages: list[Stage] = []
-    fs = float(in_hz)
-    while fs > _DSD64_HZ:
-        stages.append(_cheap_decimator(fs, 2, protect, 125.0))
-        fs /= 2.0
-    stages.append(_cheap_decimator(fs, 7, protect, 125.0))
-    fs /= 7.0  # 403200
-    ratio = Fraction(out_hz, int(fs))  # e.g. 96000/403200 = 5/21
-    L, M = ratio.numerator, ratio.denominator
-    stages.append(_quality_stage(filt, fs, out_hz, L=L, M=M))
+    # in = 44.1k*64 * 2^p ; out = 48k * 2^q. Plan: the bank's own pure
+    # /2^r chain down to base = out*147/160 (the 44.1k-family rate with
+    # the same exponent — this part runs the fused single-pass kernel),
+    # then the fixed x160/147 family-conversion stage on the PCM output.
+    base_hz = out_hz * 147 // 160
+    assert base_hz * 160 == out_hz * 147
+    stages = _chain_44k(filt, in_hz, base_hz)
+    stages.append(_family_stage(base_hz, out_hz))
     return stages
 
 

@@ -11,10 +11,13 @@ PRNG), quantization, and a running peak, and writes one (C, K) output
 block. HBM traffic drops to (input bytes + output samples) — the
 speed-of-light for this op.
 
-Eligibility: every stage plan must have lane_stride == 1 and the chain
-must end at p_out == 1 — true exactly for the ÷8 chains (DSD64→352.8k,
-DSD128→705.6k, DSD256→1411.2k), including BASELINE config 1. Other
-chains run the XLA phase path (whose head is the same ÷8 structure).
+Coverage: every pure ÷2^k cascade runs single-pass (byte-group word
+lanes for ÷8..÷32, in-kernel à-trous tails beyond — see fused_groups /
+hybrid_split), and the 48k-family chains run the same kernel for their
+÷2^m head with one XLA polyphase stage for the trailing ×160/147 family
+conversion (make_fused_rational_step). Only CPU runs and configs the
+kernel can't express (e.g. float dither) fall back to the XLA phase
+path.
 
 Streaming state is the last `halo_bytes` of raw input per channel (byte
 domain, overlap-save) instead of per-stage float histories; the first
@@ -388,6 +391,106 @@ def init_fused_halo(chain: Sequence[Stage], channels: int,
     _plans, g, _tail, _rt, halo_lanes = _fused_layout(chain, groups)
     idle_word = int.from_bytes(bytes([IDLE_BYTE]) * g, "little")
     return np.full((channels, halo_lanes), idle_word, dtype=word_dtype(g))
+
+
+# ---------------------------------------------------------------------------
+# Fused head + XLA rational tail (the 48k-family chains)
+# ---------------------------------------------------------------------------
+
+
+def fused_rational_plan(chain: Sequence[Stage]):
+    """n_head when `chain` is a fused-kernel-eligible pure-decimation
+    prefix followed by ONE trailing rational (L>1) stage — the shape of
+    every 48k-family chain (filters/design._chain_48k: pure ÷2^m head
+    down to base = out·147/160, then the ×160/147 family stage). None
+    otherwise."""
+    if len(chain) < 2 or chain[-1].L == 1:
+        return None
+    head = tuple(chain[:-1])
+    if any(s.L != 1 for s in head):
+        return None
+    return len(head) if fused_plan(head) is not None else None
+
+
+def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
+                             block_bytes: int = DEFAULT_BLOCK_BYTES,
+                             interpret: bool = False, jit: bool = True):
+    """Single-pass kernel for the decimation head + one XLA polyphase
+    stage for the trailing rational (×160/147) family conversion.
+
+    The head runs `make_fused_step` in float mode (no level/dither/
+    quantize — those move to the tail so dither and peak act on the
+    FINAL samples); the tail is ops/phase.py's own stage body + epilogue
+    on the head's small PCM-rate output (~2-3 lanes of matmul window), so
+    its cost is negligible next to the kernel pass. Noise is bit-identical
+    to make_phase_step's: the same (0x5D5D, seed) threefry stream.
+
+    step(x_w, (halo, hist), seed) -> (pcm (n_out, C), peak,
+                                      (new_halo, new_hist))
+    Returns (step, halo_bytes).
+    """
+    import dataclasses
+
+    from dsd2dxd_tpu.ops.phase import (
+        _MATMUL_TERM_THRESHOLD,
+        build_chain_coefs,
+        build_plan,
+        finish_tile,
+        interleave_phases,
+        stage_apply_phase,
+        stage_apply_phase_matmul,
+    )
+
+    n_head = fused_rational_plan(chain)
+    if n_head is None:
+        raise ValueError("chain is not fused-head + rational-tail shaped")
+    head, rstage = tuple(chain[:n_head]), chain[-1]
+    if cfg.dither is DitherType.NJAD:
+        raise ValueError("NJAD requantizes on host; convert in float mode")
+    head_cfg = dataclasses.replace(cfg, bit_depth=32,
+                                   dither=DitherType.NONE, level_db=0.0)
+    hstep, halo_bytes = make_fused_step(head, head_cfg, block_bytes,
+                                        interpret=interpret, jit=False,
+                                        transpose=False)
+    plan = build_plan(rstage, p_in=1)
+    r_head = 1
+    for s in head:
+        r_head *= s.M
+    n_base = cfg.tile_bits // r_head
+    if n_base % plan.p_in != 0:
+        raise ValueError(
+            f"tile emits {n_base} base samples, not aligned to the "
+            f"rational stage's {plan.p_in} phases")
+    dtype = jnp.dtype(cfg.dtype)
+    coefs, n_terms = build_chain_coefs((plan,), dtype)
+    apply = (stage_apply_phase_matmul
+             if n_terms[0] > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
+    gain = 10.0 ** (cfg.level_db / 20.0)
+    base_key = jax.random.PRNGKey(0x5D5D)
+
+    def step(x_w, state, seed):
+        halo, hist = state
+        y, _head_peak, new_halo = hstep(x_w, halo, seed)  # (C, n_base) f32
+        z, new_hist = apply(y[:, None, :].astype(dtype), hist, plan,
+                            coefs[0])
+        out, peak = finish_tile(interleave_phases(z), cfg,
+                                jax.random.fold_in(base_key, seed), gain)
+        return out, peak, (new_halo, new_hist)
+
+    return (jax.jit(step, donate_argnums=(1,)) if jit else step), halo_bytes
+
+
+def init_fused_rational_state(chain: Sequence[Stage], channels: int,
+                              dtype=jnp.float32):
+    """(byte-halo words, rational-stage history) initial streaming state."""
+    from dsd2dxd_tpu.ops.phase import build_plan, init_phase_hists
+
+    n_head = fused_rational_plan(chain)
+    if n_head is None:
+        raise ValueError("chain is not fused-head + rational-tail shaped")
+    plan = build_plan(chain[-1], p_in=1)
+    return (init_fused_halo(chain[:n_head], channels),
+            init_phase_hists((plan,), channels, dtype=dtype)[0])
 
 
 # ---------------------------------------------------------------------------

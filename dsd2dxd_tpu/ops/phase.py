@@ -256,8 +256,14 @@ def stage_apply_phase_matmul(x: jax.Array, hist: jax.Array, plan: PhasePlan,
         windows.append(jax.lax.slice(xin, (0, 0, start), (c, p_in, limit),
                                      (1, 1, s)))
     xw = jnp.stack(windows, axis=3)  # (C, p_in, K_out, W)
+    # Precision.HIGHEST: the TPU MXU's default bf16 passes cost ~1e-3
+    # relative error — three orders of magnitude over the 24-bit dither
+    # floor (measured on chip via tools/chipcheck.py; CPU tests never see
+    # it). HIGHEST keeps true f32 accumulation; the stage is a tiny
+    # fraction of chain FLOPs, so the extra MXU passes are free.
     y = jnp.einsum("crkw,prw->cpk", xw, g,
-                   preferred_element_type=xin.dtype)
+                   preferred_element_type=xin.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     new_hist = xin[:, :, xin.shape[2] - H:] if H else hist
     return y, new_hist
 

@@ -88,6 +88,9 @@ def _stage_conv(x: jax.Array, taps: jax.Array, L: int, M: int,
         lhs_dilation=(L,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=lhs.dtype,
+        # true f32 accumulation on TPU (the MXU's default bf16 passes
+        # sit ~1e-3 above the dither floor; see ops/phase.py einsum note)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, 0, :]
 

@@ -66,10 +66,23 @@ def _file_seed(path: Optional[Path]) -> int:
 
 def _tile_bytes_for(chain, target_bytes: int) -> int:
     """Tile size (bytes/channel) aligned so every stage of the phase-major
-    pipeline keeps integral lane counts (ops/phase.py)."""
+    pipeline keeps integral lane counts (ops/phase.py) — and, when the
+    chain will run a fused Pallas path on TPU, also to the kernel's grid
+    block (the 48k chains' natural unit, 2^m·147 bits, is not otherwise
+    block-aligned)."""
+    import math as _math
+
     from dsd2dxd_tpu.ops.phase import build_chain_plans, chain_tile_unit_bits
 
     unit_bits = chain_tile_unit_bits(build_chain_plans(chain))
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from dsd2dxd_tpu.ops import fused
+
+        if (fused.fused_plan(chain) is not None
+                or fused.fused_rational_plan(chain) is not None):
+            unit_bits = _math.lcm(unit_bits, fused.DEFAULT_BLOCK_BYTES * 8)
     target_bits = target_bytes * 8
     n_units = max(1, -(-target_bits // unit_bits))
     return n_units * unit_bits // 8
@@ -118,6 +131,28 @@ def _cached_step(chain_key, cfg):
             return fstep, make_state, prep
         except ValueError:
             pass  # cfg not kernel-expressible (e.g. FPD): phase path
+    if (jax.default_backend() == "tpu"
+            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0
+            and fused.fused_rational_plan(chain) is not None):
+        # 48k-family chains: fused kernel for the ÷2^m head, XLA polyphase
+        # for the trailing ×160/147 family stage + epilogue.
+        try:
+            rstep, _halo = fused.make_fused_rational_step(chain, cfg)
+            groups = fused.fused_plan(chain[:-1])[1]
+
+            def make_state():
+                import jax as _jax
+
+                halo, hist = fused.init_fused_rational_state(
+                    chain, cfg.channels)
+                return (_jax.device_put(halo), hist)
+
+            def prep(planes, _g=groups):
+                return fused.prep_input(planes, _g)
+
+            return rstep, make_state, prep
+        except ValueError:
+            pass
     pstep = make_phase_step(chain, cfg)
     base_key = jax.random.PRNGKey(0x5D5D)
 

@@ -196,3 +196,83 @@ def test_fused_quantized_int24():
     d = np.abs(np.asarray(of)[halo:].astype(np.int64)
                - np.asarray(op)[halo:].astype(np.int64))
     assert d.max() <= 5  # f32 ordering differences only
+
+
+RATIONAL_CONFIGS = [
+    # (rate, out_hz, block_bytes, tile_bytes): tiles are the smallest
+    # multiple of both the kernel block and the chain unit (2^m·147 bits)
+    (DsdRate.DSD64, 384000, 2688, 18816),    # ÷8 head (G=1) + ×160/147
+    (DsdRate.DSD64, 96000, 10752, 75264),    # ÷32 head (G=4) + ×160/147
+    (DsdRate.DSD256, 96000, 10752, 75264),   # ÷128 head (à-trous tail)
+]
+
+
+@pytest.mark.parametrize("rate,out_hz,block,tile", RATIONAL_CONFIGS)
+@pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
+                                              (24, DitherType.TPDF)])
+def test_fused_rational_matches_phase_streaming(rate, out_hz, block, tile,
+                                                bit_depth, dither):
+    """48k-family chains: fused ÷2^m head + XLA ×160/147 tail must stay
+    in lockstep with the pure phase path — including the dithered int
+    epilogue, which runs in XLA with the SAME threefry stream as
+    make_phase_step (noise is bit-identical, so int outputs may differ
+    only by f32-rounding ties)."""
+    from dsd2dxd_tpu.ops.fused import (
+        fused_plan,
+        fused_rational_plan,
+        init_fused_rational_state,
+        make_fused_rational_step,
+    )
+
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    n_head = fused_rational_plan(chain)
+    assert n_head == len(chain) - 1
+    g = fused_plan(chain[:n_head])[1]
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.5)
+    rstep, halo_bytes = make_fused_rational_step(chain, cfg,
+                                                 block_bytes=block,
+                                                 interpret=True)
+    pstep = make_phase_step(chain, cfg)
+    halo, hist = init_fused_rational_state(chain, 2)
+    state = (jnp.asarray(halo), hist)
+    h_p = init_phase_hists(build_chain_plans(chain), 2)
+    rng = np.random.default_rng(13)
+    base_key = jax.random.PRNGKey(0x5D5D)
+    from dsd2dxd_tpu.filters.design import chain_ratio
+
+    skip = int(halo_bytes * 8 * chain_ratio(chain)) + 2
+    for t in range(3):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        of, pf, state = rstep(prep_input(x, g), state, t)
+        op, pp, h_p = pstep(x, h_p, jax.random.fold_in(base_key, t))
+        of, op = np.asarray(of), np.asarray(op)
+        assert of.shape == op.shape
+        s = skip if t == 0 else 0
+        if bit_depth == 32:
+            assert np.max(np.abs(of[s:] - op[s:])) < 2e-6
+        else:
+            d = np.abs(of[s:].astype(np.int64) - op[s:].astype(np.int64))
+            # identical noise: differences are f32 summation-order only
+            # (~1 LSB of value, up to 2 after rounding)
+            assert d.max() <= 2
+        if t > 0:
+            assert abs(float(pf) - float(pp)) < 1e-4
+
+
+def test_fused_rational_plan_shapes():
+    from dsd2dxd_tpu.ops.fused import fused_plan, fused_rational_plan
+
+    # every 48k-family E cell is fused-head + rational-tail shaped
+    for rate, outs in ((DsdRate.DSD64, (96000, 192000, 384000)),
+                       (DsdRate.DSD128, (96000, 192000, 384000)),
+                       (DsdRate.DSD256, (96000, 192000, 384000))):
+        for out in outs:
+            chain = get_chain(FilterType.EQUIRIPPLE, rate, out)
+            n_head = fused_rational_plan(chain)
+            assert n_head == len(chain) - 1, (rate, out)
+            assert chain[-1].L == 160 and chain[-1].M == 147
+            assert fused_plan(chain[:n_head]) is not None
+    # pure-decimation chains are NOT rational-shaped
+    assert fused_rational_plan(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)) is None

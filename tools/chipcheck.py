@@ -20,8 +20,11 @@ Checks per cell (every fused-eligible rate pair):
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -33,6 +36,10 @@ CELLS = [
     ("DSD256", 1411200), ("DSD256", 705600), ("DSD256", 352800),
     ("DSD256", 176400), ("DSD256", 88200),
     ("DSD512", 352800),
+    # 48k family: fused ÷2^m head + XLA ×160/147 tail (fused_rational)
+    ("DSD64", 384000), ("DSD64", 192000), ("DSD64", 96000),
+    ("DSD128", 384000), ("DSD128", 192000), ("DSD128", 96000),
+    ("DSD256", 384000), ("DSD256", 192000), ("DSD256", 96000),
 ]
 
 
@@ -42,6 +49,11 @@ def main() -> int:
                     help="also print a per-cell throughput table")
     ap.add_argument("--tile-mib", type=int, default=2,
                     help="tile size per channel for correctness checks")
+    ap.add_argument("--only", default=None,
+                    help="run only cells matching RATE:OUT substring, "
+                         "e.g. '96000' or 'DSD64' (splits long runs)")
+    ap.add_argument("--no-correctness", action="store_true",
+                    help="skip the equivalence/stats checks (perf only)")
     args = ap.parse_args()
 
     import jax
@@ -66,18 +78,49 @@ def main() -> int:
         print(f"ERROR: default backend is {jax.default_backend()}, "
               f"this script validates the real-Mosaic path", file=sys.stderr)
         return 2
-    failures = 0
-    tile = args.tile_mib * 1024 * 1024
-    rng = np.random.default_rng(0)
+    from dsd2dxd_tpu.ops.fused import (
+        fused_rational_plan,
+        init_fused_rational_state,
+        make_fused_rational_step,
+    )
+    from dsd2dxd_tpu.pipeline.engine import _tile_bytes_for
 
-    for rate_name, out_hz in CELLS:
+    failures = 0
+    rng = np.random.default_rng(0)
+    cells = [c for c in CELLS
+             if args.only is None or args.only in f"{c[0]}:{c[1]}"]
+
+    def cell_build(chain):
+        """(make_step(cfg) -> (step, halo_bytes), init_state(), g, label)
+        for whichever fused path covers `chain`."""
+        plan = fused_plan(chain)
+        if plan is not None:
+            n_head, g, r_tail = plan
+            return ((lambda cfg: make_fused_step(chain, cfg)),
+                    (lambda: jnp.asarray(init_fused_halo(chain, 2))),
+                    g, f"head={n_head} G={g} r_tail={r_tail}")
+        n_head = fused_rational_plan(chain)
+        if n_head is None:
+            return None
+        g = fused_plan(chain[:n_head])[1]
+
+        def init_state():
+            halo, hist = init_fused_rational_state(chain, 2)
+            return (jnp.asarray(halo), hist)
+
+        return ((lambda cfg: make_fused_rational_step(chain, cfg)),
+                init_state, g,
+                f"head={n_head} G={g} tail=x{chain[-1].L}/{chain[-1].M}")
+
+    for rate_name, out_hz in (() if args.no_correctness else cells):
         rate = DsdRate[rate_name]
         chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
-        plan = fused_plan(chain)
-        if plan is None:
+        built = cell_build(chain)
+        if built is None:
             print(f"{rate_name}->{out_hz}: no fused plan (skipped)")
             continue
-        n_head, g, r_tail = plan
+        make_step, init_state, g, label = built
+        tile = _tile_bytes_for(chain, args.tile_mib * 1024 * 1024)
         ratio = chain_ratio(chain)
 
         # float + int24 equivalence vs phase path, streamed
@@ -85,9 +128,9 @@ def main() -> int:
         for depth in (32, 24):
             cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=depth,
                              dither=DitherType.NONE, level_db=-1.0)
-            fstep, halo_bytes = make_fused_step(chain, cfg)
+            fstep, halo_bytes = make_step(cfg)
             pstep = make_phase_step(chain, cfg)
-            h_f = jnp.asarray(init_fused_halo(chain, 2))
+            h_f = init_state()
             h_p = init_phase_hists(build_chain_plans(chain), 2)
             for t in range(3):
                 x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
@@ -118,10 +161,10 @@ def main() -> int:
                            dither=DitherType.NONE, level_db=0.0)
         cfg_d = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
                            dither=DitherType.TPDF, level_db=0.0)
-        fstep_f, halo_bytes = make_fused_step(chain, cfg_f)
-        fstep_d, _ = make_fused_step(chain, cfg_d)
-        h_a = jnp.asarray(init_fused_halo(chain, 2))
-        h_b = jnp.asarray(init_fused_halo(chain, 2))
+        fstep_f, halo_bytes = make_step(cfg_f)
+        fstep_d, _ = make_step(cfg_d)
+        h_a = init_state()
+        h_b = init_state()
         errs = []
         outs = []
         for t in range(2):
@@ -152,8 +195,8 @@ def main() -> int:
             failures += 1
             ok = False
         if ok:
-            print(f"OK   {rate_name}->{out_hz}: head={n_head} G={g} "
-                  f"r_tail={r_tail} tpdf_rms={rms:.3f} LSB")
+            print(f"OK   {rate_name}->{out_hz}: {label} "
+                  f"tpdf_rms={rms:.3f} LSB")
 
     if args.perf:
         print("\nthroughput (24-bit TPDF, 16 MiB tiles, device-only):")
@@ -163,9 +206,10 @@ def main() -> int:
         from dsd2dxd_tpu.pipeline.engine import _cached_step
         from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
 
-        for rate_name, out_hz in CELLS:
+        for rate_name, out_hz in cells:
             rate = DsdRate[rate_name]
-            big = 16 * 1024 * 1024
+            chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+            big = _tile_bytes_for(chain, 16 * 1024 * 1024)
             cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
                              dither=DitherType.TPDF, level_db=0.0)
             step, make_state, prep = _cached_step(
