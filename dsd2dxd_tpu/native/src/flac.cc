@@ -20,7 +20,7 @@
 #include <cstring>
 #include <thread>
 #include <vector>
-#if defined(__AVX2__) && defined(__FMA__)
+#if defined(__AVX2__)
 #include <immintrin.h>
 #endif
 
@@ -34,26 +34,45 @@ namespace {
 
 class BitWriter {
  public:
+  // `buf` is CAPACITY; the first `len` bytes are valid. Writes go
+  // through a raw length cursor so the hot Rice loop never pays
+  // vector::resize's zero-initialisation or per-call bounds logic —
+  // call trim() before reading buf as a whole.
   std::vector<uint8_t> buf;
+  size_t len = 0;
   uint64_t acc = 0;  // bits pending, left-aligned semantics via nbits
   int nbits = 0;
 
+  inline void ensure(size_t extra) {
+    if (len + extra > buf.size())
+      buf.resize(std::max(buf.size() * 2, len + extra + 4096));
+  }
+
+  // adopt existing bytes (frame header) as the already-written prefix
+  void seed(std::vector<uint8_t>&& head) {
+    buf = std::move(head);
+    len = buf.size();
+  }
+
   inline void flush_bytes() {
+    ensure(8);
     while (nbits >= 8) {
       nbits -= 8;
-      buf.push_back(uint8_t(acc >> nbits));
+      buf[len++] = uint8_t(acc >> nbits);
     }
   }
 
   // drain whole big-endian words: one 4-byte store instead of four
   // bounds-checked byte pushes (the Rice loop lives here)
   inline void flush_words() {
-    while (nbits >= 32) {
-      nbits -= 32;
-      uint32_t be = __builtin_bswap32(uint32_t(acc >> nbits));
-      size_t sz = buf.size();
-      buf.resize(sz + 4);
-      memcpy(buf.data() + sz, &be, 4);
+    if (nbits >= 32) {
+      ensure(8);  // the accumulator holds at most two words
+      do {
+        nbits -= 32;
+        uint32_t be = __builtin_bswap32(uint32_t(acc >> nbits));
+        memcpy(buf.data() + len, &be, 4);
+        len += 4;
+      } while (nbits >= 32);
     }
   }
 
@@ -77,6 +96,12 @@ class BitWriter {
     flush_bytes();
     if (nbits) put(0, 8 - nbits);
     flush_bytes();
+  }
+
+  // shrink buf to the valid bytes (end of bit-level writing)
+  void trim() {
+    flush_bytes();
+    buf.resize(len);
   }
 };
 
@@ -115,11 +140,28 @@ uint8_t crc8(const uint8_t* d, size_t n) {
   return c;
 }
 
+// Slice-by-8 CRC-16: T[j][v] = CRC of byte v followed by j zero bytes;
+// eight independent lookups replace eight serially-dependent ones.
+struct Crc16Slice {
+  uint16_t t[8][256];
+  Crc16Slice() {
+    Crc16Table base;
+    for (int v = 0; v < 256; ++v) t[0][v] = base.t[v];
+    for (int j = 1; j < 8; ++j)
+      for (int v = 0; v < 256; ++v)
+        t[j][v] = uint16_t((t[j - 1][v] << 8) ^ t[0][t[j - 1][v] >> 8]);
+  }
+};
+
 uint16_t crc16(const uint8_t* d, size_t n) {
-  static const Crc16Table tbl;
+  static const Crc16Slice s;
   uint16_t c = 0;
+  for (; n >= 8; d += 8, n -= 8)
+    c = s.t[7][(c >> 8) ^ d[0]] ^ s.t[6][(c & 0xFF) ^ d[1]] ^
+        s.t[5][d[2]] ^ s.t[4][d[3]] ^ s.t[3][d[4]] ^ s.t[2][d[5]] ^
+        s.t[1][d[6]] ^ s.t[0][d[7]];
   for (size_t i = 0; i < n; ++i)
-    c = uint16_t((c << 8) ^ tbl.t[(c >> 8) ^ d[i]]);
+    c = uint16_t((c << 8) ^ s.t[0][(c >> 8) ^ d[i]]);
   return c;
 }
 
@@ -277,12 +319,30 @@ void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
     for (uint32_t p = 0; p < parts_max; ++p) {
       size_t cnt = cnt_min - (p == 0 ? pred_order : 0);
       uint64_t s = 0;
-      for (size_t i = 0; i < cnt; ++i) {
-        uint32_t u = zigzag(res[idx]);
-        z[idx] = u;
-        s += u;
-        ++idx;
+      size_t i = 0;
+#if defined(__AVX2__)
+      if (cnt >= 8) {
+        const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
+        __m256i acc = _mm256_setzero_si256();
+        for (; i + 8 <= cnt; i += 8) {
+          __m256i v = _mm256_loadu_si256((const __m256i*)(res + idx + i));
+          __m256i u = _mm256_xor_si256(_mm256_slli_epi32(v, 1),
+                                       _mm256_srai_epi32(v, 31));
+          _mm256_storeu_si256((__m256i*)(z.data() + idx + i), u);
+          acc = _mm256_add_epi64(acc, _mm256_and_si256(u, lo32));
+          acc = _mm256_add_epi64(acc, _mm256_srli_epi64(u, 32));
+        }
+        alignas(32) uint64_t t[4];
+        _mm256_store_si256((__m256i*)t, acc);
+        s = t[0] + t[1] + t[2] + t[3];
       }
+#endif
+      for (; i < cnt; ++i) {
+        uint32_t u = zigzag(res[idx + i]);
+        z[idx + i] = u;
+        s += u;
+      }
+      idx += cnt;
       sums[p] = s;
     }
   }
@@ -340,12 +400,30 @@ uint64_t abs_residual_sum(const std::vector<int32_t>& r, size_t from) {
   return s;
 }
 
-// Order-2 |residual| sum over every other sample — the stereo-mode cost
-// heuristic only needs the RELATIVE ordering of L/R/mid/side, and this
-// is 4 calls per frame.
+// Order-2 |residual| sum — the stereo-mode cost heuristic only needs
+// the RELATIVE ordering of L/R/mid/side costs (4 calls per frame).
 uint64_t order2_sum(const int32_t* x, size_t n) {
   uint64_t s = 0;
-  for (size_t i = 2; i < n; i += 2) {
+  size_t i = 2;
+#if defined(__AVX2__)
+  if (n >= 18) {
+    const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
+    __m256i acc = _mm256_setzero_si256();
+    for (; i + 8 <= n; i += 8) {
+      __m256i v0 = _mm256_loadu_si256((const __m256i*)(x + i));
+      __m256i v1 = _mm256_loadu_si256((const __m256i*)(x + i - 1));
+      __m256i v2 = _mm256_loadu_si256((const __m256i*)(x + i - 2));
+      __m256i d = _mm256_abs_epi32(_mm256_sub_epi32(
+          _mm256_sub_epi32(v0, v1), _mm256_sub_epi32(v1, v2)));
+      acc = _mm256_add_epi64(acc, _mm256_and_si256(d, lo32));
+      acc = _mm256_add_epi64(acc, _mm256_srli_epi64(d, 32));
+    }
+    alignas(32) uint64_t t[4];
+    _mm256_store_si256((__m256i*)t, acc);
+    s = t[0] + t[1] + t[2] + t[3];
+  }
+#endif
+  for (; i < n; ++i) {
     int64_t d = int64_t(x[i]) - 2 * int64_t(x[i - 1]) + int64_t(x[i - 2]);
     s += uint64_t(d < 0 ? -d : d);
   }
@@ -353,10 +431,17 @@ uint64_t order2_sum(const int32_t* x, size_t n) {
 }
 
 // One pass: |residual| sums for fixed orders 0..4 via running differences.
-void fixed_order_sums(const int32_t* x, size_t n, uint64_t out[5]) {
-  for (int o = 0; o < 5; ++o) out[o] = 0;
-  int64_t p1 = 0, p2 = 0, p3 = 0, p4 = 0;  // previous difference values
-  for (size_t i = 0; i < n; ++i) {
+void fixed_order_sums_scalar(const int32_t* x, size_t n, size_t from,
+                             uint64_t out[5]) {
+  // differences seeded from x[from-1...] so a vector main loop can hand
+  // off the tail; `from` samples must precede x+from when from > 0
+  int64_t p1 = from >= 1 ? x[from - 1] : 0;
+  int64_t p2 = from >= 2 ? x[from - 1] - x[from - 2] : 0;
+  int64_t p3 = from >= 3 ? x[from - 1] - 2 * x[from - 2] + x[from - 3] : 0;
+  int64_t p4 = from >= 4
+                   ? x[from - 1] - 3 * x[from - 2] + 3 * x[from - 3] - x[from - 4]
+                   : 0;
+  for (size_t i = from; i < n; ++i) {
     int64_t d0 = x[i];
     int64_t d1 = d0 - p1;
     int64_t d2 = d1 - p2;
@@ -369,6 +454,63 @@ void fixed_order_sums(const int32_t* x, size_t n, uint64_t out[5]) {
     out[0] += uint64_t(d0 < 0 ? -d0 : d0);
     p4 = d3; p3 = d2; p2 = d1; p1 = d0;
   }
+}
+
+void fixed_order_sums(const int32_t* x, size_t n, uint64_t out[5],
+                      int bps = 26) {
+  for (int o = 0; o < 5; ++o) out[o] = 0;
+#if defined(__AVX2__)
+  // |d4| <= 16*2^(bps-1): stay in i32 lanes only when that fits
+  if (n >= 16 && bps <= 26) {
+    // binomial differences from shifted unaligned loads, 8 lanes/step;
+    // |d4| <= 16*2^24 < 2^31 so i32 never overflows. Non-negative abs
+    // values accumulate into i64 lanes by even/odd dword split.
+    const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
+    __m256i s0 = _mm256_setzero_si256(), s1 = s0, s2 = s0, s3 = s0, s4 = s0;
+    // scalar prologue covers the order-dependent start offsets
+    fixed_order_sums_scalar(x, 4, 0, out);
+    size_t i = 4;
+    for (; i + 8 <= n; i += 8) {
+      __m256i v0 = _mm256_loadu_si256((const __m256i*)(x + i));
+      __m256i v1 = _mm256_loadu_si256((const __m256i*)(x + i - 1));
+      __m256i v2 = _mm256_loadu_si256((const __m256i*)(x + i - 2));
+      __m256i v3 = _mm256_loadu_si256((const __m256i*)(x + i - 3));
+      __m256i v4 = _mm256_loadu_si256((const __m256i*)(x + i - 4));
+      __m256i e1 = _mm256_sub_epi32(v0, v1);
+      __m256i e2 = _mm256_sub_epi32(v1, v2);
+      __m256i e3 = _mm256_sub_epi32(v2, v3);
+      __m256i e4 = _mm256_sub_epi32(v3, v4);
+      __m256i d2 = _mm256_sub_epi32(e1, e2);
+      __m256i f2 = _mm256_sub_epi32(e2, e3);
+      __m256i f3 = _mm256_sub_epi32(e3, e4);
+      __m256i d3 = _mm256_sub_epi32(d2, f2);
+      __m256i d4 = _mm256_sub_epi32(d3, _mm256_sub_epi32(f2, f3));
+#define ACC(sacc, dv)                                                     \
+  {                                                                       \
+    __m256i va = _mm256_abs_epi32(dv);                                    \
+    sacc = _mm256_add_epi64(sacc, _mm256_and_si256(va, lo32));            \
+    sacc = _mm256_add_epi64(sacc, _mm256_srli_epi64(va, 32));             \
+  }
+      ACC(s0, v0)
+      ACC(s1, e1)
+      ACC(s2, d2)
+      ACC(s3, d3)
+      ACC(s4, d4)
+#undef ACC
+    }
+    uint64_t t[4];
+#define HSUM(sacc, o)                                                     \
+  {                                                                       \
+    _mm256_storeu_si256((__m256i*)t, sacc);                               \
+    out[o] += t[0] + t[1] + t[2] + t[3];                                  \
+  }
+    HSUM(s0, 0) HSUM(s1, 1) HSUM(s2, 2) HSUM(s3, 3) HSUM(s4, 4)
+#undef HSUM
+    fixed_order_sums_scalar(x, n, i, out);
+    return;
+  }
+#endif
+  fixed_order_sums_scalar(x, n, 0, out);
 }
 
 // Fixed-predictor residuals, order 0..4 (in place over a copy).
@@ -532,7 +674,38 @@ LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order) {
 }
 
 void lpc_residual(const int32_t* x, size_t n, const LpcModel& m, int32_t* out) {
-  if (m.order == 8) {  // the default analysis order: unrolled MACs
+  if (m.order == 8) {  // the default analysis order
+#if defined(__AVX2__)
+    // four predictions at a time: mul_epi32 takes the sign-extended low
+    // dwords of i64 lanes (15-bit coef x 25-bit sample fits easily);
+    // the >> shift epilogue is scalar (AVX2 has no arithmetic i64 shift)
+    __m256i qv[8];
+    for (int j = 0; j < 8; ++j)
+      qv[j] = _mm256_set1_epi64x(int64_t(m.qcoef[j]));
+    size_t i = 8;
+    alignas(32) int64_t t[4];
+    for (; i + 4 <= n; i += 4) {
+      __m256i acc = _mm256_setzero_si256();
+      for (int j = 0; j < 8; ++j) {
+        __m256i v = _mm256_cvtepi32_epi64(
+            _mm_loadu_si128((const __m128i*)(x + i - 1 - j)));
+        acc = _mm256_add_epi64(acc, _mm256_mul_epi32(v, qv[j]));
+      }
+      _mm256_store_si256((__m256i*)t, acc);
+      out[i] = x[i] - int32_t(t[0] >> m.shift);
+      out[i + 1] = x[i + 1] - int32_t(t[1] >> m.shift);
+      out[i + 2] = x[i + 2] - int32_t(t[2] >> m.shift);
+      out[i + 3] = x[i + 3] - int32_t(t[3] >> m.shift);
+    }
+    const int32_t* q = m.qcoef;
+    for (; i < n; ++i) {
+      int64_t pred = int64_t(q[0]) * x[i - 1] + int64_t(q[1]) * x[i - 2] +
+                     int64_t(q[2]) * x[i - 3] + int64_t(q[3]) * x[i - 4] +
+                     int64_t(q[4]) * x[i - 5] + int64_t(q[5]) * x[i - 6] +
+                     int64_t(q[6]) * x[i - 7] + int64_t(q[7]) * x[i - 8];
+      out[i] = x[i] - int32_t(pred >> m.shift);
+    }
+#else
     const int32_t* q = m.qcoef;
     for (size_t i = 8; i < n; ++i) {
       int64_t pred = int64_t(q[0]) * x[i - 1] + int64_t(q[1]) * x[i - 2] +
@@ -541,6 +714,7 @@ void lpc_residual(const int32_t* x, size_t n, const LpcModel& m, int32_t* out) {
                      int64_t(q[6]) * x[i - 7] + int64_t(q[7]) * x[i - 8];
       out[i] = x[i] - int32_t(pred >> m.shift);
     }
+#endif
     return;
   }
   for (size_t i = m.order; i < n; ++i) {
@@ -564,7 +738,7 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
   }
   // choose fixed order by min abs residual sum (single pass)
   uint64_t sums[5];
-  fixed_order_sums(x, n, sums);
+  fixed_order_sums(x, n, sums, bps);
   int best_order = 0;
   uint64_t best_sum = sums[0];
   for (int order = 1; order <= 4 && size_t(order) < n; ++order) {
@@ -668,7 +842,21 @@ struct Encoder {
     raw.resize(n_vals * bytes_per);
     uint8_t* o = raw.data();
     if (bytes_per == 3) {
-      for (size_t i = 0; i < n_vals; ++i) {
+      size_t i = 0;
+#if defined(__AVX2__)
+      // 8 samples -> 24 bytes via an in-lane byte shuffle; stores
+      // overlap by 4 bytes, so stop while 28 bytes of room remain
+      const __m256i m = _mm256_setr_epi8(
+          0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1,
+          0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
+      for (; i + 10 <= n_vals; i += 8, o += 24) {
+        __m256i v = _mm256_shuffle_epi8(
+            _mm256_loadu_si256((const __m256i*)(samples + i)), m);
+        _mm_storeu_si128((__m128i*)o, _mm256_castsi256_si128(v));
+        _mm_storeu_si128((__m128i*)(o + 12), _mm256_extracti128_si256(v, 1));
+      }
+#endif
+      for (; i < n_vals; ++i) {
         uint32_t v = uint32_t(samples[i]);
         o[0] = uint8_t(v);
         o[1] = uint8_t(v >> 8);
@@ -749,17 +937,40 @@ struct Encoder {
     static thread_local std::vector<std::vector<int32_t>> ch;
     ch.resize(channels);
     for (uint32_t c = 0; c < channels; ++c) ch[c].resize(bs);
-    for (uint32_t i = 0; i < bs; ++i)
-      for (uint32_t c = 0; c < channels; ++c) ch[c][i] = inter[i * channels + c];
 
     int assignment = int(channels) - 1;  // independent
     static thread_local std::vector<int32_t> mid, side;
     if (channels == 2) {
       mid.resize(bs);
       side.resize(bs);
-      for (uint32_t i = 0; i < bs; ++i) {
-        mid[i] = (ch[0][i] + ch[1][i]) >> 1;
-        side[i] = ch[0][i] - ch[1][i];
+      // one pass produces L, R, mid, side (deinterleave was two strided
+      // stores per sample and showed as encode_frame's self time)
+      int32_t* lp = ch[0].data();
+      int32_t* rp = ch[1].data();
+      uint32_t i = 0;
+#if defined(__AVX2__)
+      const __m256i perm = _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
+      for (; i + 8 <= bs; i += 8) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(inter + 2 * i));
+        __m256i b = _mm256_loadu_si256((const __m256i*)(inter + 2 * i + 8));
+        __m256i ta = _mm256_permutevar8x32_epi32(a, perm);  // l0-3 r0-3
+        __m256i tb = _mm256_permutevar8x32_epi32(b, perm);  // l4-7 r4-7
+        __m256i l = _mm256_permute2x128_si256(ta, tb, 0x20);
+        __m256i r = _mm256_permute2x128_si256(ta, tb, 0x31);
+        _mm256_storeu_si256((__m256i*)(lp + i), l);
+        _mm256_storeu_si256((__m256i*)(rp + i), r);
+        _mm256_storeu_si256((__m256i*)(mid.data() + i),
+                            _mm256_srai_epi32(_mm256_add_epi32(l, r), 1));
+        _mm256_storeu_si256((__m256i*)(side.data() + i),
+                            _mm256_sub_epi32(l, r));
+      }
+#endif
+      for (; i < bs; ++i) {
+        int32_t l = inter[2 * i], r = inter[2 * i + 1];
+        lp[i] = l;
+        rp[i] = r;
+        mid[i] = (l + r) >> 1;
+        side[i] = l - r;
       }
       // order-2 abs-sum heuristic for channel mode choice (single pass)
       uint64_t cl = order2_sum(ch[0].data(), bs);
@@ -771,6 +982,10 @@ struct Encoder {
       if (best == ls) assignment = 8;
       else if (best == rs) assignment = 9;
       else if (best == ms) assignment = 10;
+    } else {
+      for (uint32_t i = 0; i < bs; ++i)
+        for (uint32_t c = 0; c < channels; ++c)
+          ch[c][i] = inter[i * channels + c];
     }
 
     // frame header
@@ -791,7 +1006,8 @@ struct Encoder {
       h.put(uint32_t(assignment), 4);
       h.put(uint32_t(sample_size_code(int(bps))), 3);
       h.put(0, 1);  // reserved
-      hdr = h.buf;
+      h.trim();
+      hdr = std::move(h.buf);
       write_utf8(hdr, index);
       if (bs_tail_bits) {
         hdr.push_back(uint8_t(bs_tail >> 8));
@@ -801,7 +1017,8 @@ struct Encoder {
     }
 
     BitWriter bw;
-    bw.buf = hdr;
+    bw.seed(std::move(hdr));
+    bw.ensure(size_t(bs) * channels * (bps + 8) / 8 / 2);  // one grow for typical frames
     if (channels == 2 && assignment >= 8) {
       if (assignment == 8) {        // left/side
         write_subframe(bw, ch[0].data(), bs, int(bps));
@@ -818,10 +1035,11 @@ struct Encoder {
         write_subframe(bw, ch[c].data(), bs, int(bps));
     }
     bw.align_byte();
+    bw.trim();
     uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
     bw.buf.push_back(uint8_t(c16 >> 8));
     bw.buf.push_back(uint8_t(c16));
-    return bw.buf;
+    return std::move(bw.buf);
   }
 
   void emit(std::vector<uint8_t>&& frame) {
