@@ -480,17 +480,24 @@ class Converter:
         peak = max(peak, tile_peak)
         if sink is not None and n_valid > 0:
             if self._packed is not None:
-                # 20/24-bit drain: pack to 3 byte-planes ON DEVICE, ship
-                # 3 bytes/sample over the wire (25% less D2H than int32),
-                # interleave on host (SURVEY.md §2.3 item 3)
+                # 16/20/24-bit drain: pack ON DEVICE (int16, or 3 byte-
+                # planes for 24-bit) so the wire carries 2-3 bytes/sample
+                # instead of 4; byte-order fixup on host
+                # (SURVEY.md §2.3 item 3)
                 from dsd2dxd_tpu.pipeline.transfer import (
+                    pack16_jitted,
                     pack24_jitted,
+                    unpack16_host,
                     unpack24_host,
                 )
 
-                shift, big_endian, write_packed = self._packed
-                rows = pack24_jitted(shift)(out[:n_valid])
-                write_packed(unpack24_host(np.asarray(rows), big_endian))
+                mode, shift, big_endian, write_packed = self._packed
+                if mode == 16:
+                    v = pack16_jitted()(out[:n_valid])
+                    write_packed(unpack16_host(np.asarray(v), big_endian))
+                else:
+                    rows = pack24_jitted(shift)(out[:n_valid])
+                    write_packed(unpack24_host(np.asarray(rows), big_endian))
             else:
                 host = np.asarray(out[:n_valid])
                 sink(host)
@@ -528,8 +535,9 @@ class Converter:
             if tag is not None:
                 tag.append_to_album(f" [{self.output_rate}]")
                 id3 = tag.to_bytes()
-        pack24_ok = (self.bit_depth in (20, 24)
-                     and self.dither is not DitherType.NJAD)
+        pack_dev_ok = (self.bit_depth in (16, 20, 24)
+                       and self.dither is not DitherType.NJAD)
+        pack_mode = 16 if self.bit_depth == 16 else 24
         shift = 4 if self.bit_depth == 20 else 0
         if self._out_path is None:
             out = sys.stdout.buffer
@@ -537,8 +545,8 @@ class Converter:
             def write(tile: np.ndarray) -> None:
                 out.write(pack(tile, self.bit_depth, big_endian=False))
 
-            if pack24_ok:
-                self._packed = (shift, False, out.write)
+            if pack_dev_ok:
+                self._packed = (pack_mode, shift, False, out.write)
             sink, cleanup = self._make_sink(write)
             try:
                 self._run(cancel, progress, sink)
@@ -549,9 +557,10 @@ class Converter:
         self._out_path.parent.mkdir(parents=True, exist_ok=True)
         with open(self._out_path, "wb") as f:
             writer = self._make_writer(f, id3)
-            if pack24_ok and hasattr(writer, "write_packed"):
+            if pack_dev_ok and hasattr(writer, "write_packed"):
                 big_endian = self.output in (OutputType.AIFF, OutputType.AIFC)
-                self._packed = (shift, big_endian, writer.write_packed)
+                self._packed = (pack_mode, shift, big_endian,
+                                writer.write_packed)
             sink, cleanup = self._make_sink(writer.write)
             try:
                 self._run(cancel, progress, sink)

@@ -66,6 +66,19 @@ def pack24_jitted(shift: int):
     return jax.jit(lambda s: pack24_device(s, shift))
 
 
+@lru_cache(maxsize=2)
+def pack16_jitted():
+    """(frames, C) int32 -> flat int16 on device: halves 16-bit D2H.
+    Values are already clipped to the int16 range by quantize_int."""
+    return jax.jit(lambda s: s.reshape(-1).astype(jnp.int16))
+
+
+def unpack16_host(v: np.ndarray, big_endian: bool = False) -> bytes:
+    """Flat int16 device result -> 16-bit wire bytes (LE or BE)."""
+    v = np.asarray(v)
+    return (v.byteswap() if big_endian else v).tobytes()
+
+
 def unpack24_host(rows: np.ndarray, big_endian: bool = False) -> bytes:
     """(3, N) uint8 byte planes -> 24-bit wire bytes (LE or BE)."""
     rows = np.asarray(rows)
