@@ -181,7 +181,10 @@ def _convert(src: Path, out_dir: Path, **kw) -> float:
     """One engine conversion; returns wall seconds."""
     from dsd2dxd_tpu.pipeline.engine import Converter
 
+    from dsd2dxd_tpu.formats.dsd_types import FilterType
+
     out_dir.mkdir(parents=True, exist_ok=True)
+    kw.setdefault("filt", FilterType.EQUIRIPPLE)
     conv = Converter.from_container(
         out_dir=out_dir, append_rate=False, base_dir=src.parent,
         input_path=src, level_db=0.0, **kw)
@@ -264,9 +267,10 @@ def config_n(n: int) -> None:
         # (the only valid DSD512 cell); combined wall clock
         src256 = _fixture_dsf("bench256.dsf", 11_289_600, 8.0)
         src512 = _fixture_dsf("bench512.dsf", 22_579_200, 8.0)
-        kw256 = dict(bit_depth=32, output=OutputType.AIFF, output_rate=384000,
+        # 32-bit float rides in AIFC (AIFF has no float sample type)
+        kw256 = dict(bit_depth=32, output=OutputType.AIFC, output_rate=384000,
                      dither=DitherType.FPD)
-        kw512 = dict(bit_depth=32, output=OutputType.AIFF, output_rate=352800,
+        kw512 = dict(bit_depth=32, output=OutputType.AIFC, output_rate=352800,
                      dither=DitherType.FPD)
         _convert(src256, tmp / "w", **kw256)
         _convert(src512, tmp / "w", **kw512)

@@ -1,11 +1,12 @@
 """PCM sample packing: int32/float32 arrays -> wire bytes.
 
-This is the host byte path (SURVEY.md §2.3 item 3). The HOT case —
-20/24-bit int output — is packed ON DEVICE into byte planes
-(pipeline/transfer.py `pack24_device`, wired into the engine's drain),
-shipping 3 bytes/sample over the wire; the host then only interleaves.
-The numpy implementations here serve the remaining cases (16-bit, float,
-the FLAC feed, tile-sharded mode) and are memory-bound single-pass.
+This is the host byte path (SURVEY.md §2.3 item 3). The HOT cases —
+16/20/24-bit int output — are packed ON DEVICE (int16, or byte planes
+via pipeline/transfer.py `pack24_device`/`pack16_jitted`, wired into the
+engine's drain), shipping 2-3 bytes/sample over the wire; the host then
+only interleaves / fixes byte order. The numpy implementations here
+serve the remaining cases (float, the FLAC feed, tile-sharded mode) and
+are memory-bound single-pass.
 
 Conventions:
 - 16/24-bit: two's complement little-endian (WAV) or big-endian (AIFF).

@@ -334,16 +334,24 @@ class Converter:
             chain_key = (self.filt, info.rate, self.output_rate)
             chain = get_chain(*chain_key)
             ratio = chain_ratio(chain)
-            # Scale tiles with the input rate: constant audio seconds per
-            # tile (steady progress cadence) and enough work per dispatch
-            # to amortize fixed per-step costs at DSD256/512 rates.
-            tile_bytes = _tile_bytes_for(
-                chain, self.tile_target_bytes * int(info.rate))
             # NJAD is a sequential host-side requantizer (native/src/njad.cc):
             # the device step emits float PCM, the sink quantizes.
             float_out = (self.level_check_only
                          or self.dither is DitherType.NJAD
                          or self.bit_depth == 32)
+            # Scale tiles with the input rate: constant audio seconds per
+            # tile (steady progress cadence) and enough work per dispatch
+            # to amortize fixed per-step costs at DSD256/512 rates — but
+            # cap at 4x for configs that run the XLA phase path on TPU
+            # (e.g. FPD float dither): its rephase intermediates carry up
+            # to 16x tiling padding, and DSD512's 32 MiB tiles OOM HBM
+            # (measured; the fused kernel paths are O(tile) and keep the
+            # full scale).
+            mult = int(info.rate)
+            if not self._kernel_eligible(chain, float_out):
+                mult = min(mult, 4)
+            tile_bytes = _tile_bytes_for(
+                chain, self.tile_target_bytes * mult)
             cfg = StepConfig(
                 channels=info.channels,
                 tile_bytes=tile_bytes,
@@ -424,6 +432,25 @@ class Converter:
                     f"({audio_s / elapsed:.0f}x real-time, "
                     f"{consumed * info.channels / elapsed / 2**20:.1f} MiB/s DSD in)")
             return peak
+
+    def _kernel_eligible(self, chain, float_out: bool) -> bool:
+        """Will this conversion run a fused Pallas path on TPU? (Mirrors
+        _cached_step's gates that are knowable before tile sizing.)"""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        from dsd2dxd_tpu.formats.dsd_types import DitherType as DT
+        from dsd2dxd_tpu.ops import fused
+
+        if float_out:
+            if not (self.level_check_only or self.dither in (DT.NONE,
+                                                             DT.NJAD)):
+                return False  # FPD float dither: phase path only
+        elif self.dither not in (DT.TPDF, DT.RECTANGULAR, DT.NONE):
+            return False
+        return (fused.fused_plan(chain) is not None
+                or fused.fused_rational_plan(chain) is not None)
 
     def _run_tile_sharded(self, mesh, chain, ratio, cfg, cancel, progress,
                           sink) -> float:
