@@ -107,26 +107,34 @@ def _uniform01(shape):
     return bits.astype(jnp.float32) * jnp.float32(2.0 ** -32) + 0.5
 
 
-def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
+def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                   halo: int, gain: float, c_pad: int, n_blocks: int,
-                  groups: int, tail, r_tail: int):
-    c = c_pad
+                  groups: int, tail, r_tail: int, batch: int):
     c_real = cfg.channels
+    # Sublane batching: with C < 8 channels the cascade rows waste most
+    # of each (8, 128) vector register (measured: C=1/2/4 take the SAME
+    # wall time on chip). A grid step therefore processes `batch`
+    # consecutive overlap-save SUB-BLOCKS of k_sub lanes each, stacked on
+    # the sublane axis — (batch*C, halo + k_sub) rows, ~8 useful sublanes
+    # regardless of channel count. Sub-blocks are independent given their
+    # halo (same overlap-save argument as the grid itself), so the
+    # cascade body is unchanged; only unpack fans wide lanes into rows.
+    r_rows = batch * c_real if batch > 1 else c_pad
+    block_lanes = batch * k_sub  # input lanes consumed per grid step
     scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
     # à-trous tail bookkeeping (lanes are head-output samples): stage t of
     # the tail is evaluated UNDECIMATED with dilation d_t, so every access
     # is a stride-1 static slice; tail_need[t+1] lanes come out of it.
-    tail_need = [block_lanes]
+    tail_need = [k_sub]
     for taps, d in reversed(tail):
         tail_need.insert(0, tail_need[0] + (len(taps) - 1) * d)
     # lanes each head stage must produce: the tail's input + downstream halos
     need = [tail_need[0]]
     for p in reversed(list(plans)[1:]):
         need.insert(0, need[0] + p.hist_lanes)
-    # stage-0 input rows have `halo + block` lanes; its slices sit at the
+    # stage-0 input rows have `halo + k_sub` lanes; its slices sit at the
     # right edge (halo may exceed the exact context after 128-alignment)
-    extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0]
-                                                        - block_lanes)
+    extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0] - k_sub)
 
     def kernel(seed_ref, x_hbm, out_ref, peak_ref, xb_vmem, sem):
         i = pl.program_id(0)
@@ -136,7 +144,7 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
         cp.start()
         cp.wait()
         # Mosaic prefers flat 2D vectors: keep the stream as a LIST of
-        # per-phase (C, K) f32 arrays instead of one (C, P, K) tensor.
+        # per-phase (R, K) f32 arrays instead of one (R, P, K) tensor.
         # One lane is one little-endian WORD of `groups` stream bytes
         # (u8/u16/u32 for G=1/2/4 — the host views the byte planes as
         # words for free), so phase r = 8*(byte g of the word) + bitpos
@@ -145,6 +153,15 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
         xw = xb_vmem[:, :]
         xi = (pltpu.bitcast(xw, jnp.int32) if xw.dtype == jnp.uint32
               else xw.astype(jnp.int32))
+        if batch > 1:
+            # fan the wide word window into sublane-stacked sub-blocks
+            # ONCE (each with its own halo; pad channel rows dropped, so
+            # every cascade row is real) — the 8G phase extractions then
+            # run on full-sublane (R, halo+k_sub) shapes
+            xi = jnp.concatenate(
+                [jax.lax.slice(xi, (0, b * k_sub),
+                               (c_real, b * k_sub + halo + k_sub))
+                 for b in range(batch)], axis=0)
         rows = [
             (((xi >> (8 * (r // 8) + 7 - (r % 8))) & 1)
              .astype(jnp.float32) * 2.0 - 1.0)
@@ -159,11 +176,11 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
                 for t_idx, t in enumerate(terms):
                     start = (extra0 if j == 0 else 0) + h + t.base
                     sl = jax.lax.slice(rows[t.r_in], (0, start),
-                                       (c, start + k_out), (1, 1))
+                                       (r_rows, start + k_out), (1, 1))
                     contribs.append(coef_tables[j][rho][t_idx] * sl)
                 new_rows.append(_tree_sum(contribs))
             rows = new_rows
-        z = rows[0]  # (C, tail_need[0])
+        z = rows[0]  # (R, tail_need[0])
         # à-trous tail: dilated stride-1 slice-FMAs, all in VMEM. The
         # output stays undecimated (one sample per head-output lane); the
         # caller extracts every r_tail-th lane from the small final PCM.
@@ -175,22 +192,26 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
                 start = (n_t - 1) * d - k * d
                 contribs.append(jnp.float32(coef)
                                 * jax.lax.slice(z, (0, start),
-                                                (c, start + k_out)))
+                                                (r_rows, start + k_out)))
             z = _tree_sum(contribs)
-        y = z  # (C, block_lanes)
+        y = z  # (R, k_sub)
         if gain != 1.0:
             y = y * jnp.float32(gain)
-        # peak over the REAL channels only (rows >= c_real are idle-pattern
-        # padding whose residue must not leak into dsd_levels), and over
-        # the REAL decimation phase only when a tail is present (the
-        # discarded intermediate-phase lanes are legitimate lowpass
-        # outputs but not emitted samples). A masked reduction fuses; a
-        # row slice forced an extra materialization.
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-        mask = (row_ids < c_real).astype(jnp.float32)
+        # peak over the REAL channels only (in the unbatched layout rows
+        # >= c_real are idle-pattern padding whose residue must not leak
+        # into dsd_levels; batched rows are all real), and over the REAL
+        # decimation phase only when a tail is present (the discarded
+        # intermediate-phase lanes are legitimate lowpass outputs but not
+        # emitted samples). A masked reduction fuses; a row slice forced
+        # an extra materialization.
+        if batch > 1:
+            mask = jnp.ones((r_rows, 1), dtype=jnp.float32)
+        else:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 1), 0)
+            mask = (row_ids < c_real).astype(jnp.float32)
         if r_tail > 1:
             lane_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (c, block_lanes), 1)
+                jnp.int32, (r_rows, k_sub), 1)
             mask = mask * (lane_ids % r_tail == 0).astype(jnp.float32)
         peak = jnp.max(jnp.abs(y) * mask)
 
@@ -210,9 +231,9 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, block_lanes: int,
             # unique stream per (tile, block): tile seeds are spaced by
             # n_blocks so block (t, i) never reuses (t', i') noise
             pltpu.prng_seed(seed_ref[0] * n_blocks + i)
-            u1 = _uniform01((c, block_lanes))
+            u1 = _uniform01((r_rows, k_sub))
             if cfg.dither is DitherType.TPDF:
-                v = v + (u1 + _uniform01((c, block_lanes)) - 1.0)
+                v = v + (u1 + _uniform01((r_rows, k_sub)) - 1.0)
             else:
                 v = v + (u1 - 0.5)
         out_ref[:, :] = jnp.clip(
@@ -331,12 +352,27 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     gain = 10.0 ** (cfg.level_db / 20.0)
     c = cfg.channels
     # Mosaic u8 DMA slices need the sublane dim aligned to 4; pad the
-    # channel rows (free: the VPU pads (2, K) tiles to 8 sublanes anyway).
+    # channel rows for the copy (batched cascades drop the pad rows at
+    # unpack time).
     c_pad = -(-c // 4) * 4
     n_blocks = cfg.tile_bytes // block_bytes
+    # Sublane batch factor: stack 8/C sub-blocks per grid step so the
+    # cascade uses ~8 sublane rows regardless of channel count (C=1/2/4
+    # measured the SAME kernel wall time on chip — see _build_kernel).
+    batch = 1
+    if c < 8:
+        b_try = 8 // c
+        while b_try > 1 and (block_lanes % (b_try * 128) != 0
+                             or (block_lanes // b_try) % r_tail != 0):
+            b_try //= 2
+        batch = max(1, b_try)
+    k_sub = block_lanes // batch
+    r_rows = batch * c if batch > 1 else c_pad
+    out_lanes = n_blocks * k_sub  # kernel output columns
     out_dtype = jnp.float32 if cfg.bit_depth == 32 else jnp.int32
-    kernel = _build_kernel(plans, coef_tables, cfg, block_lanes, halo_lanes,
-                           gain, c_pad, n_blocks, groups, tail, r_tail)
+    kernel = _build_kernel(plans, coef_tables, cfg, k_sub, halo_lanes,
+                           gain, c_pad, n_blocks, groups, tail, r_tail,
+                           batch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -345,7 +381,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile lanes) HBM
         ],
         out_specs=[
-            pl.BlockSpec((c_pad, block_lanes), lambda i, *_: (0, i),
+            pl.BlockSpec((r_rows, k_sub), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -360,7 +396,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((c_pad, tile_lanes), out_dtype),
+            jax.ShapeDtypeStruct((r_rows, out_lanes), out_dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -375,9 +411,26 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             xin_k = xin
         out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
         new_halo = xin[:, xin.shape[1] - halo_lanes:]
+        if batch > 1:
+            # de-block the sublane batching with ONE permutation that
+            # also performs the requested interleave transpose:
+            # out[b*C + cc, i*k_sub + k] is (block i*batch + b, channel
+            # cc, lane k). Two chained transposes (de-block then .T)
+            # cost ~27% of the step (measured, op profile).
+            k2 = k_sub // r_tail
+            o = out.reshape(batch, c, n_blocks, k_sub)
+            if r_tail > 1:
+                # keep decimation phase 0 of the à-trous output
+                o = o.reshape(batch, c, n_blocks, k2, r_tail)[..., 0]
+            if _transpose:
+                pcm = (o.transpose(2, 0, 3, 1)
+                       .reshape(n_blocks * batch * k2, c))
+            else:
+                pcm = (o.transpose(1, 2, 0, 3)
+                       .reshape(c, n_blocks * batch * k2))
+            return pcm, peak[0, 0], new_halo
         pcm = out[:c]
         if r_tail > 1:
-            # keep decimation phase 0 of the undecimated à-trous output
             pcm = pcm.reshape(c, tile_lanes // r_tail, r_tail)[..., 0]
         pcm = pcm.T if _transpose else pcm
         return pcm, peak[0, 0], new_halo
