@@ -112,18 +112,26 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
     if len(body) < declared:
         tag.truncated = True
     off = 0
-    # Skip extended header if present.
-    if flags & 0x40 and len(body) >= 4:
-        if major >= 4:
-            ext = _syncsafe_decode(body[0:4])
-        else:
-            (ext,) = struct.unpack(">I", body[0:4])
-            ext += 4
-        off = min(ext, len(body))
+    # Flag bit 0x40: v2.3/2.4 extended header (skip it); in v2.2 the same
+    # bit means whole-tag COMPRESSION, which the spec says to ignore
+    # entirely (there is no defined scheme) — return the empty tag rather
+    # than misreading frame bytes as an extended-header length.
+    if flags & 0x40:
+        if major == 2:
+            return tag
+        if len(body) >= 4:
+            if major >= 4:
+                ext = _syncsafe_decode(body[0:4])
+            else:
+                (ext,) = struct.unpack(">I", body[0:4])
+                ext += 4
+            off = min(ext, len(body))
     if major == 2:
         # ID3v2.2: 3-char frame IDs, 3-byte sizes, no frame flags. Frames
         # are upgraded to their v2.3 IDs so the rest of the pipeline (and
-        # tag re-serialization into outputs) sees one dialect.
+        # tag re-serialization into outputs) sees one dialect; frames with
+        # no v2.3 mapping are dropped (an invented 4-char ID would abort
+        # other parsers' frame loops and truncate the re-serialized tag).
         while off + 6 <= len(body):
             fid = body[off:off + 3]
             if fid == b"\x00\x00\x00":
@@ -140,8 +148,11 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
             if len(data) < size:
                 tag.truncated = True
                 break
-            tag.frames.append(Id3Frame(_V22_IDS.get(fid_s, fid_s + "?"),
-                                       data))
+            mapped = _V22_IDS.get(fid_s)
+            if mapped == "APIC":
+                data = _pic_to_apic(data)
+            if mapped is not None and data is not None:
+                tag.frames.append(Id3Frame(mapped, data))
             off += 6 + size
         return tag
     while off + 10 <= len(body):
@@ -168,9 +179,21 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
     return tag
 
 
+def _pic_to_apic(data: bytes) -> Optional[bytes]:
+    """Convert a v2.2 PIC body (enc, 3-char image format, type, desc\\0,
+    image) to the v2.3 APIC layout (enc, MIME\\0, type, desc\\0, image)."""
+    if len(data) < 5:
+        return None
+    enc = data[0:1]
+    fmt = data[1:4].decode("latin-1", "replace").strip("\x00").upper()
+    mime = {"JPG": "image/jpeg", "PNG": "image/png",
+            "GIF": "image/gif", "BMP": "image/bmp"}.get(
+                fmt, "image/" + fmt.lower() if fmt else "image/")
+    return enc + mime.encode("latin-1") + b"\x00" + data[4:]
+
+
 # v2.2 (3-char) -> v2.3 (4-char) frame IDs for the frames the pipeline
-# touches; unknown v2.2 frames get a '?' suffix so they can't collide
-# with real v2.3 IDs when re-serialized.
+# touches; v2.2 frames with no mapping are dropped at parse time.
 _V22_IDS = {
     "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB", "TRK": "TRCK",
     "TYE": "TYER", "TCO": "TCON", "TP2": "TPE2", "TCM": "TCOM",

@@ -465,6 +465,28 @@ def fused_rational_plan(chain: Sequence[Stage]):
     return len(head) if fused_plan(head) is not None else None
 
 
+def kernel_covers(chain: Sequence[Stage], bit_depth: int, dither) -> bool:
+    """Will a fused Pallas path (plain or fused-head+rational-tail) run
+    this EFFECTIVE step config on TPU? Single source of truth for the
+    engine's dispatch gate and its tile-sizing cap (pipeline/engine.py) —
+    `make_fused_step`'s ValueErrors remain the backstop."""
+    plain = fused_plan(chain) is not None
+    rational = fused_rational_plan(chain) is not None
+    if not (plain or rational):
+        return False
+    if dither is DitherType.NJAD:
+        return False  # host requantizer: engine converts to float first
+    if bit_depth == 32 and dither is not DitherType.NONE:
+        # float dither (FPD) runs in the XLA epilogue, which only the
+        # rational path has
+        return rational
+    if bit_depth != 32 and dither not in (DitherType.TPDF,
+                                          DitherType.RECTANGULAR,
+                                          DitherType.NONE):
+        return False
+    return True
+
+
 def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
                              interpret: bool = False, jit: bool = True):

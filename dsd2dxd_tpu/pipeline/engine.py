@@ -70,19 +70,17 @@ def _tile_bytes_for(chain, target_bytes: int) -> int:
     chain will run a fused Pallas path on TPU, also to the kernel's grid
     block (the 48k chains' natural unit, 2^m·147 bits, is not otherwise
     block-aligned)."""
-    import math as _math
+    import jax
 
     from dsd2dxd_tpu.ops.phase import build_chain_plans, chain_tile_unit_bits
 
     unit_bits = chain_tile_unit_bits(build_chain_plans(chain))
-    import jax
-
     if jax.default_backend() == "tpu":
         from dsd2dxd_tpu.ops import fused
 
         if (fused.fused_plan(chain) is not None
                 or fused.fused_rational_plan(chain) is not None):
-            unit_bits = _math.lcm(unit_bits, fused.DEFAULT_BLOCK_BYTES * 8)
+            unit_bits = math.lcm(unit_bits, fused.DEFAULT_BLOCK_BYTES * 8)
     target_bits = target_bytes * 8
     n_units = max(1, -(-target_bits // unit_bits))
     return n_units * unit_bits // 8
@@ -204,7 +202,8 @@ class Converter:
         # resolved at call time so tests can shrink the module default
         self.tile_target_bytes = (tile_target_bytes if tile_target_bytes
                                   else _DEFAULT_TILE_TARGET)
-        self._packed = None  # (shift, big_endian, write_packed) 24-bit drain
+        # (mode 16|24, shift, big_endian, write_packed) device-pack drain
+        self._packed = None
         self._out_path = self._build_output_path()
 
     # -- construction mirroring the reference API ---------------------------
@@ -434,8 +433,9 @@ class Converter:
             return peak
 
     def _kernel_eligible(self, chain, float_out: bool) -> bool:
-        """Will this conversion run a fused Pallas path on TPU? (Mirrors
-        _cached_step's gates that are knowable before tile sizing.)"""
+        """Will this conversion run a fused Pallas path on TPU? (The
+        effective step config mirrors _run's StepConfig construction;
+        the predicate itself lives in ops/fused.kernel_covers.)"""
         import jax
 
         if jax.default_backend() != "tpu":
@@ -443,14 +443,11 @@ class Converter:
         from dsd2dxd_tpu.formats.dsd_types import DitherType as DT
         from dsd2dxd_tpu.ops import fused
 
-        if float_out:
-            if not (self.level_check_only or self.dither in (DT.NONE,
-                                                             DT.NJAD)):
-                return False  # FPD float dither: phase path only
-        elif self.dither not in (DT.TPDF, DT.RECTANGULAR, DT.NONE):
-            return False
-        return (fused.fused_plan(chain) is not None
-                or fused.fused_rational_plan(chain) is not None)
+        eff_depth = 32 if float_out else self.bit_depth
+        eff_dither = (DT.NONE
+                      if self.level_check_only or self.dither is DT.NJAD
+                      else self.dither)
+        return fused.kernel_covers(chain, eff_depth, eff_dither)
 
     def _run_tile_sharded(self, mesh, chain, ratio, cfg, cancel, progress,
                           sink) -> float:
@@ -505,6 +502,11 @@ class Converter:
         # Peak over padded tail is harmless: padding is the DSD idle
         # pattern (silence), which cannot raise the max.
         peak = max(peak, tile_peak)
+        # Device ops below always see the FULL fixed tile shape and the
+        # valid prefix is sliced on host: slicing on device would trace
+        # a fresh program per distinct final-partial-tile length — one
+        # multi-second tunnel compile per file in a batch.
+        ch = self.source.info.channels
         if sink is not None and n_valid > 0:
             if self._packed is not None:
                 # 16/20/24-bit drain: pack ON DEVICE (int16, or 3 byte-
@@ -520,14 +522,14 @@ class Converter:
 
                 mode, shift, big_endian, write_packed = self._packed
                 if mode == 16:
-                    v = pack16_jitted()(out[:n_valid])
-                    write_packed(unpack16_host(np.asarray(v), big_endian))
+                    v = np.asarray(pack16_jitted()(out))[:n_valid * ch]
+                    write_packed(unpack16_host(v, big_endian))
                 else:
-                    rows = pack24_jitted(shift)(out[:n_valid])
-                    write_packed(unpack24_host(np.asarray(rows), big_endian))
+                    rows = np.asarray(
+                        pack24_jitted(shift)(out))[:, :n_valid * ch]
+                    write_packed(unpack24_host(rows, big_endian))
             else:
-                host = np.asarray(out[:n_valid])
-                sink(host)
+                sink(np.asarray(out)[:n_valid])
         return peak
 
     def _make_sink(self, write):

@@ -88,3 +88,52 @@ def test_id3v22_truncated_degrades():
                      (size >> 7) & 0x7F, size & 0x7F]) + body)
     tag = parse_id3(blob)
     assert tag is not None and tag.truncated
+
+
+def _v22_blob(body: bytes, flags: int = 0) -> bytes:
+    size = len(body)
+    return (b"ID3" + bytes([2, 0, flags])
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F]) + body)
+
+
+def _frame22(fid: bytes, data: bytes) -> bytes:
+    return fid + len(data).to_bytes(3, "big") + data
+
+
+def test_id3v22_unknown_frames_dropped_not_invented():
+    """Unmapped v2.2 frames must be DROPPED: an invented 4-char ID like
+    'WXX?' is invalid v2.3 and aborts other parsers' frame loops,
+    truncating everything after it in the re-serialized tag."""
+    body = (_frame22(b"WXX", b"\x00desc\x00http://x")
+            + _frame22(b"TT2", b"\x00Title")
+            + _frame22(b"TAL", b"\x00Album"))
+    tag = parse_id3(_v22_blob(body))
+    assert tag.get_text("TIT2") == "Title"
+    assert tag.get_text("TALB") == "Album"
+    assert all(f.frame_id.isalnum() for f in tag.frames)
+    # the round-tripped tag keeps every mapped frame
+    back = parse_id3(tag.to_bytes())
+    assert back.get_text("TALB") == "Album"
+
+
+def test_id3v22_pic_converts_to_apic_layout():
+    """PIC bodies (enc + 3-char format + type + desc\\0 + image) must be
+    rewritten to APIC's layout (enc + MIME\\0 + type + desc\\0 + image)."""
+    img = b"\xff\xd8fakejpegdata"
+    pic = b"\x00" + b"JPG" + b"\x03" + b"cover\x00" + img
+    tag = parse_id3(_v22_blob(_frame22(b"PIC", pic)))
+    (fr,) = [f for f in tag.frames if f.frame_id == "APIC"]
+    assert fr.data[0:1] == b"\x00"
+    mime, rest = fr.data[1:].split(b"\x00", 1)
+    assert mime == b"image/jpeg"
+    assert rest == b"\x03" + b"cover\x00" + img
+
+
+def test_id3v22_compression_flag_skips_tag():
+    """v2.2 flag 0x40 means whole-tag compression (no defined scheme):
+    ignore the tag body instead of misparsing frame bytes as a v2.3
+    extended header."""
+    body = _frame22(b"TT2", b"\x00Title")
+    tag = parse_id3(_v22_blob(body, flags=0x40))
+    assert tag is not None and tag.frames == []
