@@ -209,6 +209,7 @@ RATIONAL_CONFIGS = [
 
 @pytest.mark.parametrize("rate,out_hz,block,tile", RATIONAL_CONFIGS)
 @pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
+                                              (32, DitherType.FPD),
                                               (24, DitherType.TPDF)])
 def test_fused_rational_matches_phase_streaming(rate, out_hz, block, tile,
                                                 bit_depth, dither):
