@@ -277,3 +277,20 @@ def test_fused_rational_plan_shapes():
     # pure-decimation chains are NOT rational-shaped
     assert fused_rational_plan(
         get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)) is None
+
+
+def test_kernel_covers_predicate():
+    """ops/fused.kernel_covers is the single source of truth for the
+    engine's dispatch gate and tile-sizing cap — pin its edges."""
+    from dsd2dxd_tpu.ops.fused import kernel_covers
+
+    plain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    rational = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    assert kernel_covers(plain, 24, DitherType.TPDF)
+    assert kernel_covers(plain, 32, DitherType.NONE)
+    assert kernel_covers(rational, 24, DitherType.RECTANGULAR)
+    # FPD float dither needs an XLA epilogue: rational only
+    assert not kernel_covers(plain, 32, DitherType.FPD)
+    assert kernel_covers(rational, 32, DitherType.FPD)
+    # NJAD requantizes on host; engine rewrites the cfg to float first
+    assert not kernel_covers(plain, 24, DitherType.NJAD)
