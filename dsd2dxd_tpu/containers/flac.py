@@ -22,6 +22,21 @@ import numpy as np
 from dsd2dxd_tpu.utils.errors import ConfigError
 
 
+def _picture_block(pic, is_last: bool) -> bytes:
+    """FLAC PICTURE metadata block (type 6) from a decoded APIC frame.
+    Width/height/depth/colors are 0 = unknown (we don't parse image
+    headers; players read them from the image itself)."""
+    mime = pic.mime.encode("ascii", "replace")
+    desc = pic.description.encode("utf-8")
+    body = struct.pack(">I", pic.pic_type)
+    body += struct.pack(">I", len(mime)) + mime
+    body += struct.pack(">I", len(desc)) + desc
+    body += struct.pack(">IIII", 0, 0, 0, 0)
+    body += struct.pack(">I", len(pic.data)) + pic.data
+    header = bytes([(0x80 if is_last else 0) | 6]) + len(body).to_bytes(3, "big")
+    return header + body
+
+
 def _vorbis_comment_block(comments: list[tuple[str, str]], is_last: bool) -> bytes:
     vendor = b"dsd2dxd_tpu"
     body = struct.pack("<I", len(vendor)) + vendor
@@ -50,26 +65,37 @@ class FlacWriter:
         self.channels = channels
         self.sample_rate = sample_rate
         self.bit_depth = bit_depth
-        self._comments = self._map_id3(id3)
+        self._comments, self._pictures = self._map_id3(id3)
         self._enc = native.flac_new(sample_rate, channels, bit_depth,
                                     block_size)
         self._write_header()
 
     @staticmethod
-    def _map_id3(id3: Optional[bytes]) -> list[tuple[str, str]]:
+    def _map_id3(id3: Optional[bytes]):
         if not id3:
-            return []
-        from dsd2dxd_tpu.formats.id3 import id3_to_vorbis_comments, parse_id3
+            return [], []
+        from dsd2dxd_tpu.formats.id3 import (
+            apic_pictures,
+            id3_to_vorbis_comments,
+            parse_id3,
+        )
 
         tag = parse_id3(id3)
-        return id3_to_vorbis_comments(tag) if tag else []
+        if tag is None:
+            return [], []
+        return id3_to_vorbis_comments(tag), apic_pictures(tag)
 
     def _write_header(self) -> None:
-        has_comments = bool(self._comments)
-        header = self._native.flac_header(self._enc, is_last=not has_comments)
+        extras = int(bool(self._comments)) + len(self._pictures)
+        header = self._native.flac_header(self._enc, is_last=extras == 0)
         self.f.write(header)
-        if has_comments:
-            self.f.write(_vorbis_comment_block(self._comments, is_last=True))
+        if self._comments:
+            extras -= 1
+            self.f.write(_vorbis_comment_block(self._comments,
+                                               is_last=extras == 0))
+        for pic in self._pictures:
+            extras -= 1
+            self.f.write(_picture_block(pic, is_last=extras == 0))
         self._header_len = 42
 
     def write(self, samples: np.ndarray) -> None:
@@ -89,7 +115,8 @@ class FlacWriter:
         if self.f.seekable():
             self.f.seek(0)
             header = self._native.flac_header(
-                self._enc, is_last=not bool(self._comments))
+                self._enc,
+                is_last=not (self._comments or self._pictures))
             self.f.write(header)
         self.f.flush()
         self._native.flac_free(self._enc)

@@ -65,6 +65,7 @@ class FlacStream:
     min_block: int
     max_block: int
     comments: dict = field(default_factory=dict)
+    pictures: list = field(default_factory=list)  # (type, mime, desc, data)
     samples: np.ndarray = None  # (frames, channels) int32
     md5_ok: bool = False
 
@@ -191,6 +192,7 @@ def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
     pos = 4
     info = None
     comments: dict = {}
+    pictures: list = []
     while True:
         hdr = data[pos:pos + 4]
         last = bool(hdr[0] & 0x80)
@@ -219,12 +221,23 @@ def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
                 k, _, v = body[off:off + elen].decode("utf-8").partition("=")
                 comments[k.upper()] = v
                 off += elen
+        elif btype == 6:  # PICTURE
+            off = 0
+            (ptype,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            (mlen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            mime = body[off:off + mlen].decode("ascii", "replace"); off += mlen
+            (dlen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            desc = body[off:off + dlen].decode("utf-8", "replace"); off += dlen
+            off += 16  # width/height/depth/colors
+            (ilen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            pictures.append((ptype, mime, desc, body[off:off + ilen]))
         pos += 4 + size
         if last:
             break
     if info is None:
         raise ValueError("missing STREAMINFO")
     info.comments = comments
+    info.pictures = pictures
 
     frames = []
     expect_index = 0

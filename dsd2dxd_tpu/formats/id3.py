@@ -186,9 +186,12 @@ def _pic_to_apic(data: bytes) -> Optional[bytes]:
         return None
     enc = data[0:1]
     fmt = data[1:4].decode("latin-1", "replace").strip("\x00").upper()
-    mime = {"JPG": "image/jpeg", "PNG": "image/png",
-            "GIF": "image/gif", "BMP": "image/bmp"}.get(
-                fmt, "image/" + fmt.lower() if fmt else "image/")
+    known = {"JPG": "image/jpeg", "PNG": "image/png",
+             "GIF": "image/gif", "BMP": "image/bmp"}
+    # Unknown/blank format fields get a generic MIME: "image/" (empty
+    # subtype) or an invented "image/xxx" is malformed and some tag
+    # readers reject the whole APIC frame (advisor finding, round 2).
+    mime = known.get(fmt, "application/octet-stream")
     return enc + mime.encode("latin-1") + b"\x00" + data[4:]
 
 
@@ -200,6 +203,59 @@ _V22_IDS = {
     "TPA": "TPOS", "COM": "COMM", "PIC": "APIC", "TT1": "TIT1",
     "TT3": "TIT3", "TP3": "TPE3", "TBP": "TBPM", "TEN": "TENC",
 }
+
+
+@dataclass
+class ApicPicture:
+    """A decoded APIC frame: what FLAC's PICTURE metadata block carries
+    (the reference copies tags "where possible" — README.md:7 — and
+    embedded art is part of the tag)."""
+
+    pic_type: int   # ID3 picture type == FLAC picture type (same registry)
+    mime: str
+    description: str
+    data: bytes
+
+
+def apic_pictures(tag: Id3Tag) -> list[ApicPicture]:
+    """Decode every APIC frame in the tag (v2.2 PIC frames were already
+    rewritten to APIC layout at parse time)."""
+    out = []
+    for fr in tag.frames:
+        if fr.frame_id != "APIC":
+            continue
+        d = fr.data
+        if len(d) < 4:
+            continue
+        enc = d[0]
+        mime_end = d.find(b"\x00", 1)
+        if mime_end < 0:
+            continue
+        mime = d[1:mime_end].decode("latin-1", "replace")
+        p = mime_end + 1
+        if p >= len(d):
+            continue
+        pic_type = d[p]
+        p += 1
+        # description terminator: \0 for latin-1/utf-8, \0\0 for UTF-16
+        if enc in (1, 2):
+            q = p
+            while q + 1 < len(d) and d[q:q + 2] != b"\x00\x00":
+                q += 2
+            raw_desc, p = d[p:q], min(q + 2, len(d))
+            codec = "utf-16" if enc == 1 else "utf-16-be"
+        else:
+            q = d.find(b"\x00", p)
+            if q < 0:
+                q = len(d)
+            raw_desc, p = d[p:q], min(q + 1, len(d))
+            codec = "latin-1" if enc == 0 else "utf-8"
+        try:
+            desc = raw_desc.decode(codec)
+        except UnicodeDecodeError:
+            desc = raw_desc.decode("latin-1", "replace")
+        out.append(ApicPicture(pic_type, mime, desc, d[p:]))
+    return out
 
 
 def id3_to_vorbis_comments(tag: Id3Tag) -> list[tuple[str, str]]:

@@ -3,12 +3,17 @@
 // The reference README documents `-d N` (reference README.md:74) from the
 // pre-Rust C++ dsd2dxd, crediting Airwindows (README.md:236-244); v2.7.0
 // dropped it but the driver's BASELINE configs require it (SURVEY.md §2.4
-// fine print). This is a fresh implementation of the published
-// Airwindows "Not Just Another Dither" idea: instead of adding noise,
-// choose between floor and ceil per sample so the running distribution
-// of leading digits of the quantized values tracks Benford's law —
-// a deterministic, content-adaptive dither. Sequential feedback per
-// channel, hence host-side native code (SURVEY.md §2.3).
+// fine print). This is OUR INTERPRETATION of the publicly described
+// Airwindows "Not Just Another Dither" idea — built from its published
+// description only (no network in this environment, so the actual
+// Airwindows source could not be consulted; fidelity to its exact
+// algorithm is unverified): instead of adding noise, choose between
+// floor and ceil per sample so the running distribution of leading
+// digits of the quantized values tracks Benford's law — a
+// deterministic, content-adaptive dither. Sequential feedback per
+// channel, hence host-side native code (SURVEY.md §2.3). Tests pin the
+// statistical behavior (bounded error, determinism, Benford tracking),
+// not lineage.
 
 #include <cmath>
 #include <cstdint>

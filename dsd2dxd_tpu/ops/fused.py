@@ -245,6 +245,21 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
 _WORD_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 
 
+def sublane_batch(channels: int, block_lanes: int, r_tail: int) -> int:
+    """Sublane batch factor: stack 8/C overlap-save sub-blocks per grid
+    step so the cascade uses ~8 sublane rows regardless of channel count
+    (C=1/2/4 measured the SAME kernel wall time on chip — see
+    _build_kernel). Halved until the sub-block stays lane-tile aligned
+    and tail-decimation aligned."""
+    if channels >= 8:
+        return 1
+    b_try = 8 // channels
+    while b_try > 1 and (block_lanes % (b_try * 128) != 0
+                         or (block_lanes // b_try) % r_tail != 0):
+        b_try //= 2
+    return max(1, b_try)
+
+
 def fused_plan(chain: Sequence[Stage]):
     """(n_head, groups, r_tail) for running `chain` in the single-pass
     kernel, or None when it can't (rational stages before any ÷8 prefix).
@@ -356,16 +371,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     # unpack time).
     c_pad = -(-c // 4) * 4
     n_blocks = cfg.tile_bytes // block_bytes
-    # Sublane batch factor: stack 8/C sub-blocks per grid step so the
-    # cascade uses ~8 sublane rows regardless of channel count (C=1/2/4
-    # measured the SAME kernel wall time on chip — see _build_kernel).
-    batch = 1
-    if c < 8:
-        b_try = 8 // c
-        while b_try > 1 and (block_lanes % (b_try * 128) != 0
-                             or (block_lanes // b_try) % r_tail != 0):
-            b_try //= 2
-        batch = max(1, b_try)
+    batch = sublane_batch(c, block_lanes, r_tail)
     k_sub = block_lanes // batch
     r_rows = batch * c if batch > 1 else c_pad
     out_lanes = n_blocks * k_sub  # kernel output columns

@@ -206,11 +206,19 @@ RATIONAL_CONFIGS = [
     (DsdRate.DSD256, 96000, 10752, 75264),   # ÷128 head (à-trous tail)
 ]
 
+# block sized so the head runs sublane batch=4: pins the batched
+# de-block permutation on the rational path in CI (round-2 advisor
+# finding — previously hardware-only coverage via chipcheck). One
+# (depth, dither) combo: interpret-mode cost is high at this tile size.
+BATCHED_RATIONAL = [(DsdRate.DSD64, 384000, 21504, 150528)]
 
-@pytest.mark.parametrize("rate,out_hz,block,tile", RATIONAL_CONFIGS)
-@pytest.mark.parametrize("bit_depth,dither", [(32, DitherType.NONE),
-                                              (32, DitherType.FPD),
-                                              (24, DitherType.TPDF)])
+
+@pytest.mark.parametrize("rate,out_hz,block,tile,bit_depth,dither", [
+    *[(r, o, b, t, d, k) for (r, o, b, t) in RATIONAL_CONFIGS
+      for (d, k) in [(32, DitherType.NONE), (32, DitherType.FPD),
+                     (24, DitherType.TPDF)]],
+    *[(r, o, b, t, 24, DitherType.TPDF) for (r, o, b, t) in BATCHED_RATIONAL],
+])
 def test_fused_rational_matches_phase_streaming(rate, out_hz, block, tile,
                                                 bit_depth, dither):
     """48k-family chains: fused ÷2^m head + XLA ×160/147 tail must stay
@@ -294,3 +302,62 @@ def test_kernel_covers_predicate():
     assert kernel_covers(rational, 32, DitherType.FPD)
     # NJAD requantizes on host; engine rewrites the cfg to float first
     assert not kernel_covers(plain, 24, DitherType.NJAD)
+
+
+def test_rational_batched_config_actually_batches():
+    """The 21504-byte RATIONAL_CONFIGS block must exercise batch>1, or
+    the CI coverage it exists for silently evaporates."""
+    from dsd2dxd_tpu.ops.fused import sublane_batch
+
+    assert sublane_batch(2, 21504, 1) == 4
+    # and the original small-block configs were batch=1 (why the advisor
+    # flagged the gap)
+    assert sublane_batch(2, 2688, 1) == 1
+
+
+def test_kernel_covers_implies_step_constructs():
+    """kernel_covers decides the engine's tile-size cap BEFORE
+    _cached_step picks a path; if construction then raised for a covered
+    config, the engine would fall back to the XLA phase path with
+    un-capped rate-scaled tiles (DSD512 rephase-padding OOM). Assert the
+    predicate and the constructors agree on every rate-matrix cell x
+    effective (depth, dither) combo (round-2 advisor finding)."""
+    from dsd2dxd_tpu.formats.dsd_types import valid_output_rates
+    from dsd2dxd_tpu.ops.fused import (
+        DEFAULT_BLOCK_BYTES,
+        fused_plan,
+        kernel_covers,
+        make_fused_rational_step,
+        make_fused_step,
+    )
+    from dsd2dxd_tpu.ops.phase import build_chain_plans, chain_tile_unit_bits
+
+    # effective configs as the engine computes them (pipeline/engine._run:
+    # NJAD/level-check/32-bit become float mode; NJAD/level-check dither
+    # becomes NONE)
+    combos = [(d, k) for d in (16, 20, 24) for k in
+              (DitherType.TPDF, DitherType.RECTANGULAR, DitherType.NONE)]
+    combos += [(32, DitherType.NONE), (32, DitherType.FPD)]
+    import math
+
+    for rate in DsdRate:
+        for out_hz in valid_output_rates(rate):
+            chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+            unit = math.lcm(
+                chain_tile_unit_bits(build_chain_plans(chain)),
+                DEFAULT_BLOCK_BYTES * 8)
+            for depth, dither in combos:
+                if not kernel_covers(chain, depth, dither):
+                    continue
+                cfg = StepConfig(channels=2, tile_bytes=unit // 8,
+                                 bit_depth=depth, dither=dither,
+                                 level_db=0.0)
+                try:
+                    if fused_plan(chain) is not None:
+                        make_fused_step(chain, cfg, jit=False)
+                    else:
+                        make_fused_rational_step(chain, cfg, jit=False)
+                except ValueError as e:
+                    raise AssertionError(
+                        f"kernel_covers said yes but construction failed "
+                        f"for {rate} -> {out_hz} {depth}b {dither}: {e}")

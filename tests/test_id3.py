@@ -130,6 +130,42 @@ def test_id3v22_pic_converts_to_apic_layout():
     assert rest == b"\x03" + b"cover\x00" + img
 
 
+def test_pic_unknown_format_gets_generic_mime():
+    """Blank/unknown PIC format fields must NOT produce malformed MIME
+    strings like "image/" — readers reject those APIC frames (round-2
+    advisor finding)."""
+    from dsd2dxd_tpu.formats.id3 import _pic_to_apic
+
+    for fmt in (b"\x00\x00\x00", b"XYZ"):
+        out = _pic_to_apic(b"\x00" + fmt + b"\x03" + b"d\x00" + b"IMG")
+        mime = out[1:].split(b"\x00", 1)[0]
+        assert mime == b"application/octet-stream"
+
+
+def test_apic_pictures_decodes_frames():
+    from dsd2dxd_tpu.formats.id3 import Id3Frame, Id3Tag, apic_pictures
+
+    img = b"\x89PNGfakepngpayload"
+    apic = b"\x00" + b"image/png\x00" + b"\x03" + b"front cover\x00" + img
+    tag = Id3Tag(frames=[Id3Frame("APIC", apic)])
+    (pic,) = apic_pictures(tag)
+    assert (pic.pic_type, pic.mime, pic.description) == (3, "image/png",
+                                                        "front cover")
+    assert pic.data == img
+
+
+def test_apic_pictures_utf16_description():
+    from dsd2dxd_tpu.formats.id3 import Id3Frame, Id3Tag, apic_pictures
+
+    desc = "ジャケット".encode("utf-16")  # with BOM
+    apic = (b"\x01" + b"image/jpeg\x00" + b"\x04" + desc + b"\x00\x00"
+            + b"JPEGDATA")
+    tag = Id3Tag(frames=[Id3Frame("APIC", apic)])
+    (pic,) = apic_pictures(tag)
+    assert pic.description == "ジャケット"
+    assert pic.data == b"JPEGDATA"
+
+
 def test_id3v22_compression_flag_skips_tag():
     """v2.2 flag 0x40 means whole-tag compression (no defined scheme):
     ignore the tag body instead of misparsing frame bytes as a v2.3

@@ -65,7 +65,6 @@ def test_rate_matrix_cell(in_rate, out_hz, tone_dsf_by_rate, tmp_path):
     data = raw[pos + 8:pos + 8 + size]
     n_frames = len(data) // 6
     in_hz = RATE_HZ[in_rate]
-    src_seconds = conv.source.info.sample_count / in_hz if False else None
     # duration scales with the rate ratio (within one output sample)
     from dsd2dxd_tpu.formats.dsf import open_dsf
 
