@@ -102,6 +102,7 @@ def main(e2e: bool = False) -> None:
     from dsd2dxd_tpu.ops.resample import StepConfig
     from dsd2dxd_tpu.pipeline.transfer import (
         chunked_device_put,
+        interleave_planes,
         pack24_device,
         unpack24_host,
     )
@@ -114,8 +115,9 @@ def main(e2e: bool = False) -> None:
                      dither=DitherType.TPDF, level_db=0.0)
     # The engine's dispatched device step: the fused single-pass Pallas
     # kernel on TPU, the XLA phase path elsewhere.
-    step, make_state, prep = _cached_step(
-        (FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800), cfg)
+    step, make_state, prep, layout = _cached_step(
+        (FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800), cfg,
+        want_planes=True)
     digest = jax.jit(lambda p: jnp.stack(
         [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
 
@@ -142,7 +144,13 @@ def main(e2e: bool = False) -> None:
                  else staged[i])
             out, peak, state = step(x, state, i)
             if e2e:
-                unpack24_host(np.asarray(pack24_device(out)))
+                if layout is not None:
+                    # the kernel emitted wire byte planes; one native
+                    # host pass interleaves them (pipeline/transfer.py)
+                    n_frames = tile_bytes * 8 // 8
+                    interleave_planes(np.asarray(out), layout, n_frames)
+                else:
+                    unpack24_host(np.asarray(pack24_device(out)))
             else:
                 digests.append(digest(out))
         if not e2e:

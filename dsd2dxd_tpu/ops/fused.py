@@ -45,6 +45,29 @@ IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
 DEFAULT_BLOCK_BYTES = 16384  # lane-block per grid step (VMEM-sized)
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PlaneLayout:
+    """Blocked layout of the kernel's byte-plane (emit="planes") output.
+
+    Wire frame ``f`` of channel ``cc`` lives at row/col:
+      batch > 1: i = f // (batch*sub_cols); b = (f // sub_cols) % batch;
+                 row = b*channels + cc; col = i*sub_cols + f % sub_cols
+      batch == 1: row = cc; col = f   (rows beyond `channels` are padding)
+    The host interleaver (native dsdkit_interleave24/16, numpy fallback
+    in pipeline/transfer.py) walks this to produce the wire stream.
+    """
+
+    channels: int
+    rows: int       # sublane rows in the device array (batch*C or c_pad)
+    batch: int      # sub-blocks stacked per grid step
+    sub_cols: int   # emitted samples per sub-block per grid step
+    cols: int       # total columns (= tile frames / batch)
+    bit_depth: int  # 16 -> int16 (rows, cols); 20/24 -> u8 (3, rows, cols)
+
+
 def fused_eligible(plans: Sequence[PhasePlan], groups: int = 1) -> bool:
     # rephasing (reshape+transpose) isn't expressible in the kernel, so
     # only stride-1 chains qualify. At groups=1 that is the natural ÷8
@@ -59,13 +82,16 @@ def fused_groups(chain: Sequence[Stage]):
     """The byte-group count G that makes `chain` runnable by the fused
     kernel with p0 = 8G (stream sample i at phase i mod 8G), or None.
 
-    G = R/8 for a pure integer decimation by R: one lane is a little-
-    endian word of G stream bytes (byte g of the word = phase group g),
-    so one lane step is 8G stream samples and every ÷2^k stage keeps
-    lane stride 1 — the rephase reshape+transposes that kept deep chains
-    off the single-pass kernel vanish. G is capped at 4 (the widest
-    native word, u32); deeper chains run the grouped-head hybrid.
-    (CLAUDE.md round-2 plan; VERDICT r1 item 3.)
+    G = R/8 for a pure integer decimation by R: one lane covers G stream
+    bytes, so one lane step is 8G stream samples and every ÷2^k stage
+    keeps lane stride 1 — the rephase reshape+transposes that kept deep
+    chains off the single-pass kernel vanish. G ≤ 4 rides in one
+    little-endian u8/u16/u32 word per lane (byte g of the word = phase
+    group g); G ∈ {8, 16} splits each channel's u32 word stream into
+    R = G/4 interleaved sublane ROW GROUPS (word w -> row w mod R, lane
+    w div R — a cheap device-side transpose in the step prologue), so
+    ÷64/÷128 chains run fully phase-major instead of paying the à-trous
+    undecimated tail (CLAUDE.md round-3 plan (b); VERDICT r2 item 2).
     """
     from fractions import Fraction
 
@@ -77,10 +103,16 @@ def fused_groups(chain: Sequence[Stage]):
     if r.denominator != 1 or r.numerator % 8 != 0:
         return None
     g = r.numerator // 8
-    if g not in _WORD_DTYPES:
+    if g not in (1, 2, 4, 8, 16):
         return None
     plans = build_chain_plans(chain, p0=8 * g)
     return g if fused_eligible(plans, g) else None
+
+
+def word_rows(groups: int) -> int:
+    """Sublane row groups per channel: 1 for word-expressible G (≤4),
+    G/4 u32-rows beyond."""
+    return max(1, groups // 4)
 
 
 def chain_halo_lanes(plans: Sequence[PhasePlan]) -> int:
@@ -109,7 +141,8 @@ def _uniform01(shape):
 
 def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                   halo: int, gain: float, c_pad: int, n_blocks: int,
-                  groups: int, tail, r_tail: int, batch: int):
+                  groups: int, tail, r_tail: int, batch: int,
+                  emit: str = "frames", out_shift: int = 0, rr: int = 1):
     c_real = cfg.channels
     # Sublane batching: with C < 8 channels the cascade rows waste most
     # of each (8, 128) vector register (measured: C=1/2/4 take the SAME
@@ -119,7 +152,7 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
     # regardless of channel count. Sub-blocks are independent given their
     # halo (same overlap-save argument as the grid itself), so the
     # cascade body is unchanged; only unpack fans wide lanes into rows.
-    r_rows = batch * c_real if batch > 1 else c_pad
+    r_rows = batch * c_real if batch > 1 else (c_real if rr > 1 else c_pad)
     block_lanes = batch * k_sub  # input lanes consumed per grid step
     scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
     # à-trous tail bookkeeping (lanes are head-output samples): stage t of
@@ -136,7 +169,8 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
     # right edge (halo may exceed the exact context after 128-alignment)
     extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0] - k_sub)
 
-    def kernel(seed_ref, x_hbm, out_ref, peak_ref, xb_vmem, sem):
+    def kernel(seed_ref, x_hbm, *refs):
+        out_ref, peak_ref, xb_vmem, sem = refs
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(i * block_lanes, halo + block_lanes)],
@@ -153,20 +187,33 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
         xw = xb_vmem[:, :]
         xi = (pltpu.bitcast(xw, jnp.int32) if xw.dtype == jnp.uint32
               else xw.astype(jnp.int32))
-        if batch > 1:
-            # fan the wide word window into sublane-stacked sub-blocks
-            # ONCE (each with its own halo; pad channel rows dropped, so
-            # every cascade row is real) — the 8G phase extractions then
-            # run on full-sublane (R, halo+k_sub) shapes
-            xi = jnp.concatenate(
-                [jax.lax.slice(xi, (0, b * k_sub),
-                               (c_real, b * k_sub + halo + k_sub))
-                 for b in range(batch)], axis=0)
-        rows = [
-            (((xi >> (8 * (r // 8) + 7 - (r % 8))) & 1)
-             .astype(jnp.float32) * 2.0 - 1.0)
-            for r in range(8 * groups)
-        ]
+        # Fan the word window into sublane-stacked sub-blocks ONCE per
+        # row group (each sub-block with its own halo; pad rows dropped,
+        # so every cascade row is real) — the 8G phase extractions then
+        # run on full-sublane (R, halo+k_sub) shapes. With rr > 1 row
+        # groups (G=8/16 word rows), group r holds u32 word r of each
+        # G-byte lane at sublane rows [r*C, (r+1)*C) — all concat parts
+        # share one sublane offset, which Mosaic's lane-concat requires.
+        xg = []
+        for r in range(rr):
+            if batch > 1:
+                xg.append(jnp.concatenate(
+                    [jax.lax.slice(xi, (r * c_real, b * k_sub),
+                                   ((r + 1) * c_real,
+                                    b * k_sub + halo + k_sub))
+                     for b in range(batch)], axis=0))
+            elif rr > 1:
+                xg.append(jax.lax.slice(
+                    xi, (r * c_real, 0), ((r + 1) * c_real, xi.shape[1])))
+            else:
+                xg.append(xi)
+        rows = []
+        for p in range(8 * groups):
+            b_idx = p // 8  # byte index inside the G-byte lane
+            src = xg[b_idx // 4] if rr > 1 else xg[0]
+            biw = b_idx % 4 if rr > 1 else b_idx
+            shift = 8 * biw + 7 - (p % 8)
+            rows.append(((src >> shift) & 1).astype(jnp.float32) * 2.0 - 1.0)
         for j, plan in enumerate(plans):
             h = plan.hist_lanes
             k_out = need[j]
@@ -224,7 +271,22 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
             peak_ref[0, 0] = jnp.maximum(peak_ref[0, 0], peak)
 
         if cfg.bit_depth == 32:
-            out_ref[:, :] = y.astype(jnp.float32)
+            y32 = y.astype(jnp.float32)
+            if cfg.dither is DitherType.FPD:
+                # "Dither Float": TPDF at the per-sample ulp (reference
+                # README.md:236; ops/resample.dither_float32). The ulp is
+                # extracted from the exponent BITS instead of
+                # floor(log2(|x|)): masking the f32 to its exponent field
+                # yields exactly 2^exp for normal values, and 0 for
+                # zeros/denormals (where dither_float32's 1e-30 clamp
+                # makes the noise unrepresentably small anyway).
+                pltpu.prng_seed(seed_ref[0] * n_blocks + i)
+                tpdf = (_uniform01((r_rows, k_sub))
+                        + _uniform01((r_rows, k_sub)) - 1.0)
+                ebits = pltpu.bitcast(y32, jnp.int32) & jnp.int32(0x7F800000)
+                ulp = pltpu.bitcast(ebits, jnp.float32) * jnp.float32(2.0 ** -23)
+                y32 = y32 + tpdf * ulp
+            out_ref[:, :] = y32
             return
         v = y * jnp.float32(scale)
         if cfg.dither in (DitherType.TPDF, DitherType.RECTANGULAR):
@@ -236,8 +298,27 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                 v = v + (u1 + _uniform01((r_rows, k_sub)) - 1.0)
             else:
                 v = v + (u1 - 0.5)
-        out_ref[:, :] = jnp.clip(
-            jnp.round(v), -scale, scale - 1.0).astype(jnp.int32)
+        q = jnp.clip(jnp.round(v), -scale, scale - 1.0).astype(jnp.int32)
+        if emit != "planes":
+            out_ref[:, :] = q
+            return
+        # Byte-plane emission: the s24le/s16le wire bytes leave the
+        # kernel directly (still in the blocked kernel layout — the host
+        # interleaver walks it), killing the XLA de-block permute +
+        # pack pass that cost ~35% of a batched int step (round-2 op
+        # profile; VERDICT r2 item 1). 20-bit pre-shifts into the top of
+        # the 24-bit container here (containers/pack.py semantics). The
+        # three planes stack on the SUBLANE axis into one (3R, K) u8
+        # store: one write per block, and the C-contiguous layout equals
+        # (3, R, K) planes on the host for free.
+        if out_shift:
+            q = q << out_shift
+        if cfg.bit_depth == 16:
+            out_ref[:, :] = q.astype(jnp.int16)
+            return
+        out_ref[:, :] = jnp.concatenate(
+            [(q & 0xFF), ((q >> 8) & 0xFF), ((q >> 16) & 0xFF)],
+            axis=0).astype(jnp.uint8)
 
     return kernel
 
@@ -304,12 +385,13 @@ def _fused_layout(chain: Sequence[Stage], groups=None):
 
 
 def word_dtype(groups: int) -> np.dtype:
-    """Host dtype whose little-endian words are the kernel's lanes."""
-    return np.dtype(_WORD_DTYPES[groups])
+    """Host dtype of the kernel's input words (u32 beyond G=4; the
+    row-group split to G-byte lanes happens on device)."""
+    return np.dtype(_WORD_DTYPES[min(groups, 4)])
 
 
 def prep_input(planes: np.ndarray, groups: int) -> np.ndarray:
-    """View (C, n_bytes) u8 byte planes as the word lanes the grouped
+    """View (C, n_bytes) u8 byte planes as the word stream the grouped
     kernel consumes — a free numpy reinterpretation, no copy."""
     if groups == 1:
         return planes
@@ -320,12 +402,21 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                     block_bytes: int = DEFAULT_BLOCK_BYTES,
                     interpret: bool = False,
                     jit: bool = True, transpose: bool = True,
-                    groups=None):
+                    groups=None, emit: str = "frames", out_shift: int = 0):
     """Build the fused per-tile step for any chain `fused_plan` covers.
 
     step(x (C, tile_bytes/G) words, halo (C, halo_words) words, seed i32)
         -> (pcm (n_out, C) — or (C, n_out) with transpose=False —, peak,
         new_halo)
+
+    With ``emit="planes"`` (int depths only) the kernel writes the WIRE
+    bytes directly — (3, rows, cols) u8 little-endian byte planes for
+    20/24-bit (20-bit pre-shifted by ``out_shift``), (rows, cols) int16
+    for 16-bit — still in the blocked kernel layout described by the
+    returned `PlaneLayout`; the host-side native interleaver
+    (native: dsdkit_interleave24/16) produces the final frame-
+    interleaved stream. This removes the XLA de-block permute and pack
+    pass entirely. Returns (step, halo_bytes, layout) in this mode.
 
     With G > 1 byte groups the input is the byte stream viewed as
     little-endian u16/u32 words (`prep_input` — a free host-side view):
@@ -350,14 +441,14 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     if (block_bytes // groups) % r_tail != 0:
         raise ValueError("kernel block not aligned to the tail decimation")
     if cfg.bit_depth == 32:
-        if cfg.dither is not DitherType.NONE:
-            # FPD (Dither Float) is applied by the phase path; fall back
-            raise ValueError("fused kernel has no float-dither path")
+        if cfg.dither not in (DitherType.NONE, DitherType.FPD):
+            raise ValueError(f"fused kernel has no {cfg.dither} float path")
     elif cfg.dither not in (DitherType.TPDF, DitherType.RECTANGULAR,
                             DitherType.NONE):
         raise ValueError(f"fused kernel has no {cfg.dither} path")
     wdt = jnp.dtype(word_dtype(groups))
-    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * groups, "little")
+    rr = word_rows(groups)
+    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * min(groups, 4), "little")
     block_lanes = block_bytes // groups
     tile_lanes = cfg.tile_bytes // groups  # output samples * r_tail
     coef_tables = tuple(
@@ -366,19 +457,38 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     )
     gain = 10.0 ** (cfg.level_db / 20.0)
     c = cfg.channels
+    rows_in = rr * c
     # Mosaic u8 DMA slices need the sublane dim aligned to 4; pad the
-    # channel rows for the copy (batched cascades drop the pad rows at
-    # unpack time).
-    c_pad = -(-c // 4) * 4
+    # input rows for the copy (cascades drop the pad rows at unpack
+    # time).
+    c_pad = -(-rows_in // 4) * 4
     n_blocks = cfg.tile_bytes // block_bytes
     batch = sublane_batch(c, block_lanes, r_tail)
     k_sub = block_lanes // batch
-    r_rows = batch * c if batch > 1 else c_pad
+    r_rows = batch * c if batch > 1 else (c if rr > 1 else c_pad)
     out_lanes = n_blocks * k_sub  # kernel output columns
     out_dtype = jnp.float32 if cfg.bit_depth == 32 else jnp.int32
+    if emit not in ("frames", "planes"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    if emit == "planes" and cfg.bit_depth == 32:
+        raise ValueError("byte-plane emission is for integer depths")
     kernel = _build_kernel(plans, coef_tables, cfg, k_sub, halo_lanes,
                            gain, c_pad, n_blocks, groups, tail, r_tail,
-                           batch)
+                           batch, emit, out_shift, rr)
+
+    if emit == "planes" and cfg.bit_depth in (20, 24):
+        pcm_specs = [pl.BlockSpec((3 * r_rows, k_sub), lambda i, *_: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        pcm_shapes = [jax.ShapeDtypeStruct((3 * r_rows, out_lanes),
+                                           jnp.uint8)]
+    elif emit == "planes":
+        pcm_specs = [pl.BlockSpec((r_rows, k_sub), lambda i, *_: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        pcm_shapes = [jax.ShapeDtypeStruct((r_rows, out_lanes), jnp.int16)]
+    else:
+        pcm_specs = [pl.BlockSpec((r_rows, k_sub), lambda i, *_: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        pcm_shapes = [jax.ShapeDtypeStruct((r_rows, out_lanes), out_dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -387,8 +497,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile lanes) HBM
         ],
         out_specs=[
-            pl.BlockSpec((r_rows, k_sub), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
+            *pcm_specs,
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -402,19 +511,57 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r_rows, out_lanes), out_dtype),
+            *pcm_shapes,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )
 
-    def step(x_w, halo_in, seed, *, _transpose=transpose):
+    def _prologue(x_w, halo_in):
+        if rr > 1:
+            # split each channel's u32 word stream into rr interleaved
+            # row groups: word w -> row (w mod rr)*C + c, lane w div rr
+            # (one cheap XLA transpose over the input words; the kernel
+            # then extracts every one of the 8G phase rows with a
+            # contiguous-sublane slice + shift/mask)
+            cw, lw = x_w.shape
+            x_w = (x_w.reshape(cw, lw // rr, rr)
+                   .transpose(2, 0, 1).reshape(rr * cw, lw // rr))
         xin = jnp.concatenate([halo_in, x_w], axis=1)
-        if c_pad != c:
-            pad = jnp.full((c_pad - c, xin.shape[1]), idle_word, dtype=wdt)
+        if c_pad != rows_in:
+            pad = jnp.full((c_pad - rows_in, xin.shape[1]), idle_word,
+                           dtype=wdt)
             xin_k = jnp.concatenate([xin, pad], axis=0)
         else:
             xin_k = xin
+        return xin, xin_k
+
+    if emit == "planes":
+        k2 = k_sub // r_tail
+        layout = PlaneLayout(channels=c, rows=r_rows, batch=batch,
+                             sub_cols=k2, cols=n_blocks * k2,
+                             bit_depth=cfg.bit_depth)
+
+        def step_planes(x_w, halo_in, seed):
+            xin, xin_k = _prologue(x_w, halo_in)
+            pcm, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
+            new_halo = xin[:, xin.shape[1] - halo_lanes:]
+            if r_tail > 1:
+                # keep decimation phase 0 of the à-trous output; stays in
+                # the blocked layout (no transpose anywhere on device)
+                pcm = pcm.reshape(pcm.shape[0], out_lanes // r_tail,
+                                  r_tail)[..., 0]
+            if cfg.bit_depth != 16:
+                # (3R, cols) u8 -> (3, R, cols): identical C-contiguous
+                # bytes, just the host-facing plane view
+                pcm = pcm.reshape(3, r_rows, pcm.shape[1])
+            return pcm, peak[0, 0], new_halo
+
+        return ((jax.jit(step_planes) if jit else step_planes),
+                halo_lanes * groups, layout)
+
+    def step(x_w, halo_in, seed, *, _transpose=transpose):
+        xin, xin_k = _prologue(x_w, halo_in)
         out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
         new_halo = xin[:, xin.shape[1] - halo_lanes:]
         if batch > 1:
@@ -446,10 +593,12 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
 
 def init_fused_halo(chain: Sequence[Stage], channels: int,
                     groups=None) -> np.ndarray:
-    """Initial streaming state: idle-pattern words, (C, halo_words)."""
+    """Initial streaming state: idle-pattern words, (R*C, halo_words) —
+    already in the kernel's row-group layout when G > 4 (R = G/4)."""
     _plans, g, _tail, _rt, halo_lanes = _fused_layout(chain, groups)
-    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * g, "little")
-    return np.full((channels, halo_lanes), idle_word, dtype=word_dtype(g))
+    idle_word = int.from_bytes(bytes([IDLE_BYTE]) * min(g, 4), "little")
+    return np.full((word_rows(g) * channels, halo_lanes), idle_word,
+                   dtype=word_dtype(g))
 
 
 # ---------------------------------------------------------------------------
@@ -483,9 +632,10 @@ def kernel_covers(chain: Sequence[Stage], bit_depth: int, dither) -> bool:
     if dither is DitherType.NJAD:
         return False  # host requantizer: engine converts to float first
     if bit_depth == 32 and dither is not DitherType.NONE:
-        # float dither (FPD) runs in the XLA epilogue, which only the
-        # rational path has
-        return rational
+        # FPD runs in-kernel on the plain path and in the XLA epilogue on
+        # the rational path; other dithers are meaningless for float out
+        # (the phase path ignores them) and the kernel refuses them
+        return dither is DitherType.FPD or rational
     if bit_depth != 32 and dither not in (DitherType.TPDF,
                                           DitherType.RECTANGULAR,
                                           DitherType.NONE):
@@ -595,7 +745,7 @@ def hybrid_split(chain: Sequence[Stage]) -> tuple[int, int]:
         if cum % 8 != 0:
             continue
         g = cum // 8
-        if g not in _WORD_DTYPES:
+        if g not in (1, 2, 4, 8, 16):
             continue
         head = tuple(chain[:n])
         if fused_groups(head) == g:

@@ -313,12 +313,20 @@ def run_chain_phase(x, hists, plans, coefs, n_terms):
     return interleave_phases(x), tuple(new_hists)
 
 
-def finish_tile(x, cfg: StepConfig, key, gain: float):
+def finish_tile(x, cfg: StepConfig, key, gain: float, n_valid=None):
     """Shared epilogue: level scale -> peak -> dither -> quantize.
-    x: (C, n) float samples. Returns ((n, C) PCM, peak f32)."""
+    x: (C, n) float samples. Returns ((n, C) PCM, peak f32).
+
+    ``n_valid`` (traced scalar) masks the peak to the first n_valid
+    samples — sharded tiles use it so trailing idle-pad ringing never
+    leaks into the reported stream peak."""
     if gain != 1.0:
         x = x * x.dtype.type(gain)
-    peak = jnp.max(jnp.abs(x))
+    if n_valid is None:
+        peak = jnp.max(jnp.abs(x))
+    else:
+        ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        peak = jnp.max(jnp.abs(x) * (ids < n_valid).astype(x.dtype))
     if cfg.bit_depth == 32:
         if cfg.dither is DitherType.FPD:
             out = dither_float32(x.astype(jnp.float32), key)

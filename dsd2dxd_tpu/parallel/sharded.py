@@ -75,12 +75,12 @@ def _tile_chain_fn(chain, cfg: StepConfig, halo_bytes: int):
     n_keep = int(cfg.tile_bytes * 8 * ratio)
     gain = 10.0 ** (cfg.level_db / 20.0)
 
-    def fn(x_u8, key):
+    def fn(x_u8, key, n_valid=None):
         x = unpack_bits_phase(x_u8, dtype=dtype)
         zero_hists = init_phase_hists(plans, x.shape[0], dtype=dtype)
         x, _ = run_chain_phase(x, zero_hists, plans, coefs, n_terms)
         x = x[:, x.shape[1] - n_keep:]
-        return finish_tile(x, cfg, key, gain)
+        return finish_tile(x, cfg, key, gain, n_valid=n_valid)
 
     return fn
 
@@ -156,21 +156,165 @@ def convert_stream_tiled(planes: np.ndarray, chain, cfg: StepConfig,
                          level_db=cfg.level_db, dtype=cfg.dtype)
     tile_fn = _tile_chain_fn(chain, sub_cfg, halo)
 
-    def shard_fn(x, k):
-        out, peaks = jax.vmap(tile_fn)(x, k)
+    def shard_fn(x, k, v):
+        out, peaks = jax.vmap(tile_fn)(x, k, v)
         return out, jax.lax.pmax(jnp.max(peaks), axis)
 
     fn = jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None)),
+        in_specs=(P(axis, None, None), P(axis, None), P(axis)),
         out_specs=(P(axis, None, None), P()),
     ))
-    out, peak = fn(jnp.asarray(tiles), keys)
-    out = np.asarray(out).reshape(-1, c)
     ratio = chain_ratio(chain)
     n_valid = int(total * 8 * ratio)
+    n_keep = int(tile_bytes * 8 * ratio)
+    # per-tile valid-output counts: trailing pad ringing stays out of
+    # the reported peak (finish_tile mask)
+    valids = jnp.clip(n_valid - jnp.arange(n_dev) * n_keep, 0, n_keep
+                      ).astype(jnp.int32)
+    out, peak = fn(jnp.asarray(tiles), keys, valids)
+    out = np.asarray(out).reshape(-1, c)
     return out[:n_valid], float(peak)
 
 
 def _chain_unit_bytes(chain) -> int:
     return math.lcm(8, chain_tile_unit_bits(build_chain_plans(chain))) // 8
+
+
+def convert_stream_tiled_chunked(read, chain, cfg: StepConfig, mesh: Mesh,
+                                 sink, key=None, cancel=None, progress=None,
+                                 total_bytes=None, max_bits=None):
+    """Streaming variant of `convert_stream_tiled`: bounded host memory.
+
+    Instead of staging the whole stream (VERDICT r2 weak 4), reads
+    macro-chunks of n_devices x cfg.tile_bytes, splits each into
+    overlap-save tiles carried across chunk boundaries (the halo is the
+    REAL previous bytes, so outputs match the one-dispatch version
+    everywhere past the very first halo), and dispatches ONE jitted
+    shard_map per chunk — fixed shapes, so the compile is reused for the
+    whole stream (the old path recompiled per file length). Host RSS is
+    O(n_devices x tile); uploads go through per-device
+    `chunked_device_put` (the tunnel's >1 MiB cliff, CLAUDE.md).
+
+    ``read(n)`` returns (C, m<=n) uint8 or None at EOF; ``sink`` receives
+    (frames, C) PCM in order. Returns the stream peak (linear).
+    Noise: tile t of chunk m uses fold_in(key, global tile index) — per
+    -tile decorrelation matching the streaming engine's discipline.
+    """
+    from jax.sharding import NamedSharding
+
+    from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
+    assert len(mesh.axis_names) == 1
+    axis = mesh.axis_names[0]
+    if key is None:
+        key = jax.random.PRNGKey(0x5D5D)
+    devices = list(mesh.devices.flat)
+    n_dev = len(devices)
+    c = cfg.channels
+    unit = _chain_unit_bytes(chain)
+    tile_bytes = max(unit, -(-cfg.tile_bytes // unit) * unit)
+    macro = n_dev * tile_bytes
+    halo = halo_bytes_for(chain)
+    sub_cfg = StepConfig(channels=c, tile_bytes=tile_bytes,
+                         bit_depth=cfg.bit_depth, dither=cfg.dither,
+                         level_db=cfg.level_db, dtype=cfg.dtype)
+    tile_fn = _tile_chain_fn(chain, sub_cfg, halo)
+
+    def shard_fn(x, k, v):
+        out, peaks = jax.vmap(tile_fn)(x, k, v)
+        return out, jax.lax.pmax(jnp.max(peaks), axis)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None, None), P()),
+    ))
+    tile_sharding = NamedSharding(mesh, P(axis, None, None))
+    key_sharding = NamedSharding(mesh, P(axis, None))
+    valid_sharding = NamedSharding(mesh, P(axis))
+    n_keep = int(tile_bytes * 8 * chain_ratio(chain))
+
+    def upload(tiles):
+        # per-device chunked puts sidestep the tunnel's large-transfer
+        # cliff; the global array is assembled without further copies
+        shards = [chunked_device_put(tiles[i:i + 1], devices[i])
+                  for i in range(n_dev)]
+        return jax.make_array_from_single_device_arrays(
+            tiles.shape, tile_sharding, shards)
+
+    ratio = chain_ratio(chain)
+    carry = np.full((c, halo), 0x69, dtype=np.uint8)  # idle warmup
+    consumed = 0
+    valid_bits = 0
+    emitted = 0
+    peak = 0.0
+    t_global = 0
+    pending = None  # one-deep dispatch pipeline
+
+    def drain(pending_item, peak):
+        out, pk, n_valid = pending_item
+        if n_valid > 0 and sink is not None:
+            sink(np.asarray(out).reshape(-1, c)[:n_valid])
+        return max(peak, float(pk))
+
+    while True:
+        if cancel is not None and cancel():
+            from dsd2dxd_tpu.utils.errors import CancelledError
+
+            raise CancelledError("Conversion canceled")
+        # fill one macro-chunk, tolerating short (non-EOF) reads
+        parts = []
+        got = 0
+        eof = False
+        while got < macro:
+            b = read(macro - got)
+            if b is None:
+                eof = True
+                break
+            parts.append(b)
+            got += b.shape[1]
+        if got == 0:
+            break
+        chunk = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        consumed += got
+        valid_bits += got * 8
+        if max_bits is not None:
+            # trailing padding bits of a non-byte-aligned sample count
+            # are never converted as signal (engine discipline)
+            valid_bits = min(valid_bits, max_bits)
+        if got < macro:
+            pad = np.full((c, macro - got), 0x69, dtype=np.uint8)
+            chunk = np.concatenate([chunk, pad], axis=1)
+        padded = np.concatenate([carry, chunk], axis=1)
+        tiles = np.stack([
+            padded[:, t * tile_bytes:t * tile_bytes + halo + tile_bytes]
+            for t in range(n_dev)])
+        carry = padded[:, macro:]
+        keys = jax.device_put(
+            jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(t_global, t_global + n_dev)), key_sharding)
+        n_total = int(valid_bits * ratio)
+        n_valid, emitted = n_total - emitted, n_total
+        # per-tile masked-peak valid counts (global output frame space)
+        valids = jax.device_put(
+            jnp.clip(n_total - (t_global + jnp.arange(n_dev)) * n_keep,
+                     0, n_keep).astype(jnp.int32), valid_sharding)
+        t_global += n_dev
+        out, pk = fn(upload(tiles), keys, valids)
+        if pending is not None:
+            peak = drain(pending, peak)
+        pending = (out, pk, n_valid)
+        if progress is not None and total_bytes:
+            from dsd2dxd_tpu.formats.dsd_types import (
+                ONE_HUNDRED_PERCENT,
+                ProgressUpdate,
+            )
+
+            pct = min(100.0 * consumed / total_bytes, ONE_HUNDRED_PERCENT)
+            progress(ProgressUpdate(percent=pct))
+        if eof:
+            break
+    if pending is not None:
+        peak = drain(pending, peak)
+    return peak

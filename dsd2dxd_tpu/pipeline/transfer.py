@@ -73,6 +73,47 @@ def pack16_jitted():
     return jax.jit(lambda s: s.reshape(-1).astype(jnp.int16))
 
 
+def interleave_planes(planes: np.ndarray, layout, n_frames: int,
+                      big_endian: bool = False) -> bytes:
+    """Blocked kernel byte planes (ops/fused.PlaneLayout) -> wire bytes.
+
+    Dispatches to the native interleaver (native/src/pack.cc) and falls
+    back to a vectorized numpy path (also the test oracle). planes:
+    (3, rows, cols) u8 for 20/24-bit, (rows, cols) int16 for 16-bit.
+    """
+    from dsd2dxd_tpu.native import lib as native
+
+    planes = np.ascontiguousarray(planes)
+    if native is not None:
+        return native.interleave_planes(planes, layout, n_frames,
+                                        big_endian)
+    return interleave_planes_numpy(planes, layout, n_frames, big_endian)
+
+
+def interleave_planes_numpy(planes: np.ndarray, layout, n_frames: int,
+                            big_endian: bool = False) -> bytes:
+    c, b, sub = layout.channels, layout.batch, layout.sub_cols
+    if planes.ndim == 2:  # int16
+        a = planes
+        if b > 1:
+            a = (a.reshape(b, c, -1, sub).transpose(2, 0, 3, 1)
+                 .reshape(-1, c))
+        else:
+            a = a[:c].T
+        a = a[:n_frames]
+        return (a.byteswap() if big_endian else a).tobytes()
+    a = planes  # (3, rows, cols)
+    if b > 1:
+        a = (a.reshape(3, b, c, -1, sub).transpose(3, 1, 4, 2, 0)
+             .reshape(-1, c, 3))
+    else:
+        a = a[:, :c, :].transpose(2, 1, 0)
+    a = a[:n_frames]
+    if big_endian:
+        a = a[:, :, ::-1]
+    return np.ascontiguousarray(a).tobytes()
+
+
 def unpack16_host(v: np.ndarray, big_endian: bool = False) -> bytes:
     """Flat int16 device result -> 16-bit wire bytes (LE or BE)."""
     v = np.asarray(v)

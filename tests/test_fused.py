@@ -12,6 +12,7 @@ from dsd2dxd_tpu.ops.fused import (
     chain_halo_bytes,
     fused_eligible,
     fused_groups,
+    fused_plan,
     init_fused_halo,
     make_fused_step,
     prep_input,
@@ -53,9 +54,12 @@ def test_eligibility():
         get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 176400)) == 2
     assert fused_groups(
         get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)) == 4
-    # ÷64 exceeds the widest word: grouped-head hybrid territory
+    # ÷64/÷128 exceed the widest word but run fully phase-major via
+    # G=8/16 word ROWS (u32 streams split into G/4 sublane row groups)
     assert fused_groups(
-        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)) is None
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)) == 8
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 88200)) == 16
 
 
 GROUPED_CONFIGS = [
@@ -129,10 +133,50 @@ def test_fused_matches_phase_streaming(rate, out_hz, channels):
 
 
 DEEP_CONFIGS = [
-    (DsdRate.DSD128, 88200),   # ÷64: head ÷32 (G=4) + 1-stage à-trous tail
-    (DsdRate.DSD256, 88200),   # ÷128: head ÷32 (G=4) + 2-stage tail
+    (DsdRate.DSD128, 88200),   # ÷64: G=8 word rows (2 row groups)
+    (DsdRate.DSD256, 88200),   # ÷128: G=16 word rows (4 row groups)
     (DsdRate.DSD512, 352800),  # ÷64 at the highest input rate
 ]
+
+
+def _synthetic_div256_chain():
+    """÷256 pure-decimation chain (not a matrix cell): exercises the
+    grouped-head + à-trous-tail hybrid, which word rows (G<=16) made a
+    fallback rather than the production path for every matrix cell."""
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 88200)
+    from dsd2dxd_tpu.filters.design import Stage
+
+    return tuple(chain) + (Stage(taps=chain[-1].taps, L=1, M=2),)
+
+
+def test_hybrid_atrous_fallback_still_works():
+    """÷256 (G=32, beyond word rows): head ÷128 runs G=16 word rows and
+    the last ÷2 stage runs à-trous in-kernel with r_tail=2."""
+    from dsd2dxd_tpu.filters.design import chain_ratio
+    from dsd2dxd_tpu.ops.fused import fused_plan
+
+    chain = _synthetic_div256_chain()
+    n_head, g, r_tail = fused_plan(chain)
+    assert (n_head, g, r_tail) == (len(chain) - 1, 16, 2)
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
+                     dither=DitherType.NONE, level_db=-1.0)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True)
+    pstep = make_phase_step(chain, cfg)
+    state = jnp.asarray(init_fused_halo(chain, 2))
+    hists = init_phase_hists(build_chain_plans(chain), 2)
+    rng = np.random.default_rng(11)
+    skip = int(halo_bytes * 8 * chain_ratio(chain)) + 1
+    for t in range(2):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        oh, ph, state = fstep(prep_input(x, g), state, t)
+        op, pp, hists = pstep(x, hists, jax.random.PRNGKey(t))
+        oh, op = np.asarray(oh), np.asarray(op)
+        assert oh.shape == op.shape
+        s = skip if t == 0 else 0
+        assert np.max(np.abs(oh[s:] - op[s:])) < 2e-6
+        if t > 0:
+            assert abs(float(ph) - float(pp)) < 1e-4
 
 
 @pytest.mark.parametrize("rate,out_hz", DEEP_CONFIGS)
@@ -140,8 +184,8 @@ DEEP_CONFIGS = [
                                               (24, DitherType.NONE)])
 def test_deep_chain_fused_matches_phase_streaming(rate, out_hz, bit_depth,
                                                   dither):
-    """÷64+ chains run the grouped head + in-kernel à-trous tail — the
-    TPU production path for the deepest 44.1k cells; keep it in lockstep
+    """÷64+ chains run fully phase-major via G=8/16 word rows — the TPU
+    production path for the deepest 44.1k cells; keep it in lockstep
     with the phase path (CLAUDE.md invariant), incl. the int epilogue.
     (TPDF uses the on-core PRNG, which has no CPU interpret-mode lowering
     — its statistics are asserted on real hardware, tools/chipcheck.py.)"""
@@ -150,7 +194,7 @@ def test_deep_chain_fused_matches_phase_streaming(rate, out_hz, bit_depth,
 
     chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
     n_head, g, r_tail = fused_plan(chain)
-    assert n_head < len(chain) and r_tail > 1
+    assert n_head == len(chain) and r_tail == 1 and g in (8, 16)
     tile = 16384 * 2
     cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
                      dither=dither, level_db=-1.0)
@@ -203,21 +247,24 @@ RATIONAL_CONFIGS = [
     # multiple of both the kernel block and the chain unit (2^m·147 bits)
     (DsdRate.DSD64, 384000, 2688, 18816),    # ÷8 head (G=1) + ×160/147
     (DsdRate.DSD64, 96000, 10752, 75264),    # ÷32 head (G=4) + ×160/147
-    (DsdRate.DSD256, 96000, 10752, 75264),   # ÷128 head (à-trous tail)
 ]
 
-# block sized so the head runs sublane batch=4: pins the batched
-# de-block permutation on the rational path in CI (round-2 advisor
-# finding — previously hardware-only coverage via chipcheck). One
-# (depth, dither) combo: interpret-mode cost is high at this tile size.
-BATCHED_RATIONAL = [(DsdRate.DSD64, 384000, 21504, 150528)]
+# Heavier single-combo configs (interpret-mode cost is high at these
+# tile sizes): the batch=4 de-block permutation on the rational path
+# (round-2 advisor finding) and a deep G=8 word-rows head (÷64; the
+# G-row lane alignment forces tiles of 147·G·128 bytes).
+SINGLE_COMBO_RATIONAL = [
+    (DsdRate.DSD64, 384000, 21504, 150528),   # batch=4 rational head
+    (DsdRate.DSD128, 96000, 2048, 301056),    # G=8 word-rows head
+]
 
 
 @pytest.mark.parametrize("rate,out_hz,block,tile,bit_depth,dither", [
     *[(r, o, b, t, d, k) for (r, o, b, t) in RATIONAL_CONFIGS
       for (d, k) in [(32, DitherType.NONE), (32, DitherType.FPD),
                      (24, DitherType.TPDF)]],
-    *[(r, o, b, t, 24, DitherType.TPDF) for (r, o, b, t) in BATCHED_RATIONAL],
+    *[(r, o, b, t, 24, DitherType.TPDF)
+      for (r, o, b, t) in SINGLE_COMBO_RATIONAL],
 ])
 def test_fused_rational_matches_phase_streaming(rate, out_hz, block, tile,
                                                 bit_depth, dither):
@@ -297,11 +344,124 @@ def test_kernel_covers_predicate():
     assert kernel_covers(plain, 24, DitherType.TPDF)
     assert kernel_covers(plain, 32, DitherType.NONE)
     assert kernel_covers(rational, 24, DitherType.RECTANGULAR)
-    # FPD float dither needs an XLA epilogue: rational only
-    assert not kernel_covers(plain, 32, DitherType.FPD)
+    # FPD float dither: in-kernel on the plain path (round 3), XLA
+    # epilogue on the rational path
+    assert kernel_covers(plain, 32, DitherType.FPD)
     assert kernel_covers(rational, 32, DitherType.FPD)
+    # other dithers are meaningless for float output: phase path only
+    assert not kernel_covers(plain, 32, DitherType.TPDF)
     # NJAD requantizes on host; engine rewrites the cfg to float first
     assert not kernel_covers(plain, 24, DitherType.NJAD)
+
+
+@pytest.mark.parametrize("rate,out_hz,depth,shift,big_endian", [
+    (DsdRate.DSD64, 352800, 24, 0, False),   # flagship, batch=4
+    (DsdRate.DSD64, 352800, 24, 0, True),    # AIFF byte order
+    (DsdRate.DSD256, 88200, 24, 0, False),   # G=16 word rows
+    (DsdRate.DSD64, 352800, 16, 0, False),   # int16 single-plane
+    (DsdRate.DSD64, 176400, 20, 4, False),   # 20-in-24 kernel shift
+])
+def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
+                                             big_endian):
+    """emit="planes" must produce byte-identical wire data to the frames
+    path + host packers, through both the numpy and native interleavers
+    (VERDICT r2 item 1: in-kernel byte-plane PCM output)."""
+    from dsd2dxd_tpu.native import lib as native
+    from dsd2dxd_tpu.pipeline.transfer import (
+        interleave_planes_numpy,
+    )
+
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    g = fused_plan(chain)[1]
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=depth,
+                     dither=DitherType.NONE, level_db=0.0)
+    fstep, _h = make_fused_step(chain, cfg, interpret=True)
+    pstep, _h2, layout = make_fused_step(chain, cfg, interpret=True,
+                                         emit="planes", out_shift=shift)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+    of, pkf, _ = fstep(prep_input(x, g),
+                       jnp.asarray(init_fused_halo(chain, 2)), 0)
+    op, pkp, _ = pstep(prep_input(x, g),
+                       jnp.asarray(init_fused_halo(chain, 2)), 0)
+    of, opn = np.asarray(of), np.asarray(op)
+    assert float(pkf) == float(pkp)
+    n = of.shape[0]
+    v = of.astype(np.int64) << shift
+    if depth == 16:
+        expect = (of.astype(np.int16).byteswap() if big_endian
+                  else of.astype(np.int16)).tobytes()
+    else:
+        b = np.empty((n * 2, 3), np.uint8)
+        vv = (v.reshape(-1) & 0xFFFFFF).astype(np.uint32)
+        order = (2, 1, 0) if big_endian else (0, 1, 2)
+        b[:, order[0]] = vv & 0xFF
+        b[:, order[1]] = (vv >> 8) & 0xFF
+        b[:, order[2]] = (vv >> 16) & 0xFF
+        expect = b.tobytes()
+    assert interleave_planes_numpy(opn, layout, n, big_endian) == expect
+    if native is not None:
+        assert native.interleave_planes(opn, layout, n,
+                                        big_endian) == expect
+    # partial final tile: the interleaver trims to n_valid frames
+    n_part = n - 37
+    assert (interleave_planes_numpy(opn, layout, n_part, big_endian)
+            == expect[:n_part * 2 * (2 if depth == 16 else 3)])
+
+
+def test_planes_emission_atrous_extraction():
+    """emit="planes" on an r_tail>1 chain (synthetic ÷256): the phase-0
+    extraction happens on the blocked planes without any transpose."""
+    from dsd2dxd_tpu.pipeline.transfer import interleave_planes_numpy
+
+    chain = _synthetic_div256_chain()
+    g = fused_plan(chain)[1]
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    fstep, _h = make_fused_step(chain, cfg, interpret=True)
+    pstep, _h2, layout = make_fused_step(chain, cfg, interpret=True,
+                                         emit="planes")
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+    of, _, _ = fstep(prep_input(x, g),
+                     jnp.asarray(init_fused_halo(chain, 2)), 0)
+    op, _, _ = pstep(prep_input(x, g),
+                     jnp.asarray(init_fused_halo(chain, 2)), 0)
+    of, opn = np.asarray(of), np.asarray(op)
+    vv = (of.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+    b = np.empty((len(vv), 3), np.uint8)
+    b[:, 0] = vv & 0xFF
+    b[:, 1] = (vv >> 8) & 0xFF
+    b[:, 2] = (vv >> 16) & 0xFF
+    assert interleave_planes_numpy(opn, layout, of.shape[0]) == b.tobytes()
+
+
+def test_planes_emission_unbatched_layout():
+    """batch==1 layout (sublane batching disabled): rows are c_pad with
+    idle padding; the interleaver reads only the real channel rows."""
+    from dsd2dxd_tpu.pipeline.transfer import interleave_planes_numpy
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    tile = 16384
+    cfg = StepConfig(channels=8, tile_bytes=tile, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    fstep, _h = make_fused_step(chain, cfg, interpret=True)
+    pstep, _h2, layout = make_fused_step(chain, cfg, interpret=True,
+                                         emit="planes")
+    assert layout.batch == 1
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 256, size=(8, tile), dtype=np.uint8)
+    of, _, _ = fstep(x, jnp.asarray(init_fused_halo(chain, 8)), 0)
+    op, _, _ = pstep(x, jnp.asarray(init_fused_halo(chain, 8)), 0)
+    of, opn = np.asarray(of), np.asarray(op)
+    vv = (of.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+    b = np.empty((len(vv), 3), np.uint8)
+    b[:, 0] = vv & 0xFF
+    b[:, 1] = (vv >> 8) & 0xFF
+    b[:, 2] = (vv >> 16) & 0xFF
+    assert interleave_planes_numpy(opn, layout, of.shape[0]) == b.tobytes()
 
 
 def test_rational_batched_config_actually_batches():

@@ -103,6 +103,83 @@ def test_convert_stream_tiled_deep_chain():
     assert np.max(np.abs(got[skip:n] - ref[skip:n])) < 1e-4
 
 
+@pytest.mark.parametrize("out_hz", [352800, 88200])
+def test_chunked_streaming_matches_one_dispatch(out_hz):
+    """convert_stream_tiled_chunked (bounded host memory, VERDICT r2
+    weak 4) must produce bit-identical PCM to the one-dispatch
+    convert_stream_tiled: every output sample's FIR receptive field sees
+    the same bytes in the same slicing order regardless of tile/chunk
+    boundaries."""
+    from dsd2dxd_tpu.parallel.sharded import convert_stream_tiled_chunked
+
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, out_hz)
+    planes = synth_tone_dsd(997.0, 0.25, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=4096, bit_depth=32,
+                     dither=DitherType.NONE, level_db=-0.5)
+    ref, ref_peak = convert_stream_tiled(planes, chain, cfg, mesh)
+
+    pos = [0]
+    max_req = [0]
+
+    def read(n):
+        max_req[0] = max(max_req[0], n)
+        if pos[0] >= planes.shape[1]:
+            return None
+        # ragged chunks: exercise carry across macro boundaries
+        take = min(n if pos[0] else n // 2, planes.shape[1] - pos[0])
+        out = planes[:, pos[0]:pos[0] + take]
+        pos[0] += take
+        return out
+
+    got = []
+    updates = []
+    peak = convert_stream_tiled_chunked(
+        read, chain, cfg, mesh, lambda t: got.append(t.copy()),
+        progress=updates.append, total_bytes=planes.shape[1])
+    got = np.concatenate(got, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+    # peaks are masked to valid output frames on device (finish_tile
+    # n_valid), so both tilings measure the same samples exactly
+    assert abs(peak - ref_peak) < 1e-6
+    # bounded memory: the reader is only ever asked for one macro-chunk
+    assert max_req[0] == 8 * cfg.tile_bytes
+    # real incremental progress, monotone to 100
+    pcts = [u.percent for u in updates]
+    assert len(pcts) >= 2 and pcts == sorted(pcts)
+
+
+def test_chunked_streaming_trims_sample_count():
+    """max_bits trims trailing padding bits exactly like the streaming
+    engine (non-byte-aligned DSF sample counts)."""
+    from dsd2dxd_tpu.parallel.sharded import convert_stream_tiled_chunked
+
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    planes = synth_tone_dsd(1000.0, 0.05, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=4096, bit_depth=32,
+                     dither=DitherType.NONE, level_db=0.0)
+    max_bits = planes.shape[1] * 8 - 4000
+    pos = [0]
+
+    def read(n):
+        if pos[0] >= planes.shape[1]:
+            return None
+        out = planes[:, pos[0]:pos[0] + n]
+        pos[0] += out.shape[1]
+        return out
+
+    got = []
+    convert_stream_tiled_chunked(read, chain, cfg, mesh,
+                                 lambda t: got.append(t.copy()),
+                                 max_bits=max_bits)
+    n = sum(t.shape[0] for t in got)
+    assert n == int(max_bits * chain_ratio(chain))
+
+
 def test_make_sharded_convert_2d_mesh():
     devs = jax.devices()
     if len(devs) < 8:

@@ -194,9 +194,71 @@ def main() -> int:
             print(f"FAIL {rate_name}->{out_hz}: tiles 0/1 share noise")
             failures += 1
             ok = False
+
+        # Byte-plane emission (emit="planes"): wire bytes from the
+        # kernel must equal the frames path + host packing, on real
+        # Mosaic u8 stores (plain-path cells only).
+        if fused_plan(chain) is not None:
+            from dsd2dxd_tpu.pipeline.transfer import interleave_planes
+
+            cfg24 = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
+                               dither=DitherType.NONE, level_db=-1.0)
+            fstep24, _ = make_fused_step(chain, cfg24)
+            pstep24, _, layout = make_fused_step(chain, cfg24,
+                                                 emit="planes")
+            x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+            h1 = jnp.asarray(init_fused_halo(chain, 2))
+            h2 = jnp.asarray(init_fused_halo(chain, 2))
+            of, _, _ = fstep24(prep_input(x, g), h1, 0)
+            op, _, _ = pstep24(prep_input(x, g), h2, 0)
+            of = np.asarray(of)
+            vv = (of.reshape(-1).astype(np.int64)
+                  & 0xFFFFFF).astype(np.uint32)
+            b = np.empty((len(vv), 3), np.uint8)
+            b[:, 0] = vv & 0xFF
+            b[:, 1] = (vv >> 8) & 0xFF
+            b[:, 2] = (vv >> 16) & 0xFF
+            if interleave_planes(np.asarray(op), layout,
+                                 of.shape[0]) != b.tobytes():
+                print(f"FAIL {rate_name}->{out_hz}: byte-plane emission "
+                      f"!= frames wire bytes")
+                failures += 1
+                ok = False
+
+        # FPD (float "Dither Float") statistics: TPDF at the per-sample
+        # ulp, in-kernel on the plain path / XLA epilogue on rational.
+        # Against the undithered float output the added noise is
+        # TPDF-distributed in ulp units: RMS sqrt(1/6) ~= 0.408 ulp,
+        # |e| <= 1 ulp.
+        cfg_fpd = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
+                             dither=DitherType.FPD, level_db=0.0)
+        fstep_fpd, _ = make_step(cfg_fpd)
+        h_c = init_state()
+        h_d = init_state()
+        ulp_errs = []
+        for t in range(2):
+            x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+            xf, _, h_c = fstep_f(prep_input(x, g), h_c, t)
+            xd, _, h_d = fstep_fpd(prep_input(x, g), h_d, t)
+            skip = int(halo_bytes * 8 * ratio) + 1 if t == 0 else 0
+            f = np.asarray(xf).astype(np.float64)[skip:]
+            d = np.asarray(xd).astype(np.float64)[skip:]
+            fb = np.asarray(xf)[skip:].view(np.int32)
+            ulp = (fb & 0x7F800000).view(np.float32).astype(np.float64) * 2**-23
+            keep = ulp > 0
+            ulp_errs.append((d - f)[keep] / ulp[keep])
+        eu = np.concatenate(ulp_errs)
+        rms_u = float(np.sqrt(np.mean(eu ** 2)))
+        # TPDF noise var 1/6 plus the f32 rounding of the sum (var 1/12):
+        # total 0.25 -> RMS 0.5 ulp (measured 0.500); |e| <= 1 + 0.5 ulp
+        if not (0.44 < rms_u < 0.56) or np.abs(eu).max() > 1.6:
+            print(f"FAIL {rate_name}->{out_hz} FPD stats: "
+                  f"rms={rms_u:.4f} ulp max={np.abs(eu).max():.4f}")
+            failures += 1
+            ok = False
         if ok:
             print(f"OK   {rate_name}->{out_hz}: {label} "
-                  f"tpdf_rms={rms:.3f} LSB")
+                  f"tpdf_rms={rms:.3f} LSB fpd_rms={rms_u:.3f} ulp")
 
     if args.perf:
         print("\nthroughput (24-bit TPDF, 16 MiB tiles, device-only):")
@@ -212,8 +274,9 @@ def main() -> int:
             big = _tile_bytes_for(chain, 16 * 1024 * 1024)
             cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
                              dither=DitherType.TPDF, level_db=0.0)
-            step, make_state, prep = _cached_step(
-                (FilterType.EQUIRIPPLE, rate, out_hz), cfg)
+            step, make_state, prep, _layout = _cached_step(
+                (FilterType.EQUIRIPPLE, rate, out_hz), cfg,
+                want_planes=True)
             tiles = [chunked_device_put(prep(
                 rng.integers(0, 256, size=(2, big), dtype=np.uint8)))
                 for _ in range(6)]
