@@ -832,10 +832,10 @@ struct Encoder {
   std::vector<int32_t> pend;  // interleaved pending samples
   std::vector<uint8_t> out;
 
-  void feed(const int32_t* samples, size_t n_frames) {
-    // MD5 over raw little-endian samples, ceil(bps/8) bytes each; packed
-    // into a reused staging buffer with a specialized 24-bit loop (the
-    // per-feed fresh vector + generic inner loop showed in the profile)
+  // MD5 over raw little-endian samples, ceil(bps/8) bytes each; packed
+  // into a reused staging buffer with a specialized 24-bit loop (the
+  // per-feed fresh vector + generic inner loop showed in the profile).
+  void md5_update_samples(const int32_t* samples, size_t n_frames) {
     size_t bytes_per = (bps + 7) / 8;
     size_t n_vals = n_frames * channels;
     static thread_local std::vector<uint8_t> raw;
@@ -870,22 +870,23 @@ struct Encoder {
       }
     }
     md5.update(raw.data(), raw.size());
+  }
+
+  void feed(const int32_t* samples, size_t n_frames) {
     total_samples += n_frames;
     // encode straight from the caller's buffer; only the sub-block
     // remainder is staged (no O(n^2) buffer shuffling)
     const int32_t* p = samples;
     size_t left = n_frames;
     size_t bs_vals = size_t(block_size) * channels;
+    bool pend_ready = false;
     if (!pend.empty()) {
       size_t have = pend.size() / channels;
       size_t take = std::min(size_t(block_size) - have, left);
       pend.insert(pend.end(), p, p + take * channels);
       p += take * channels;
       left -= take;
-      if (pend.size() == bs_vals) {
-        emit(encode_frame(pend.data(), block_size, frame_index));
-        pend.clear();
-      }
+      pend_ready = pend.size() == bs_vals;
     }
     // fan full blocks across cores (frames are independent; order is
     // restored by indexed results — the reference parallelizes with a
@@ -897,25 +898,41 @@ struct Encoder {
       n_threads = std::min<size_t>(n_threads, n_blocks);
       std::vector<std::vector<uint8_t>> results(n_blocks);
       std::atomic<size_t> next{0};
+      // block frames are numbered after the completed pend frame, which
+      // the main thread emits below while the workers already run
+      uint64_t base = frame_index + (pend_ready ? 1 : 0);
       auto worker = [&]() {
         for (;;) {
           size_t b = next.fetch_add(1);
           if (b >= n_blocks) return;
-          results[b] = encode_frame(p + b * bs_vals, block_size,
-                                    frame_index + b);
+          results[b] = encode_frame(p + b * bs_vals, block_size, base + b);
         }
       };
       std::vector<std::thread> threads;
       for (unsigned t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+      if (pend_ready) {
+        emit(encode_frame(pend.data(), block_size, frame_index));
+        pend.clear();
+      }
+      // MD5 is the serial floor (~27% of a 24/352.8k encode): hash on
+      // this thread while the workers encode, instead of before them
+      md5_update_samples(samples, n_frames);
       worker();
       for (auto& t : threads) t.join();
       for (auto& r : results) emit(std::move(r));
       p += n_blocks * bs_vals;
       left -= n_blocks * block_size;
-    } else if (n_blocks == 1) {
-      emit(encode_frame(p, block_size, frame_index));
-      p += bs_vals;
-      left -= block_size;
+    } else {
+      md5_update_samples(samples, n_frames);
+      if (pend_ready) {
+        emit(encode_frame(pend.data(), block_size, frame_index));
+        pend.clear();
+      }
+      if (n_blocks == 1) {
+        emit(encode_frame(p, block_size, frame_index));
+        p += bs_vals;
+        left -= block_size;
+      }
     }
     if (left) pend.insert(pend.end(), p, p + left * channels);
   }

@@ -107,6 +107,40 @@ def test_vorbis_comments_from_id3(tmp_path):
     assert st.comments.get("ALBUM") == "Greatest Test Tone Hits"
 
 
+def test_compression_ratio_floor(tmp_path):
+    """Pin a compression-ratio floor so the LPC-order-8 speed choice
+    stays a measured trade (VERDICT r2 item 6): a 24-bit tone must
+    compress far below VERBATIM, pink-ish noise must still beat it."""
+    from dsd2dxd_tpu.containers.flac import FlacWriter
+
+    rng = np.random.default_rng(0)
+    n = 352800  # 1 s at 352.8k
+    t = np.arange(n) / 352800.0
+    tone = (0.5 * np.sin(2 * np.pi * 1000.0 * t) * (1 << 23)
+            ).astype(np.int32)
+    tone = np.stack([tone, np.roll(tone, 7)], axis=1)
+    # pink-ish: integrated white noise, high-pass bounded
+    w = rng.normal(0, 1.0, size=n)
+    pink = np.cumsum(w) - np.linspace(0, np.sum(w), n)
+    pink = pink / np.max(np.abs(pink)) * 0.4 * (1 << 23)
+    pink = np.stack([pink, pink * 0.9], axis=1).astype(np.int32)
+
+    def ratio(x):
+        p = tmp_path / "r.flac"
+        with open(p, "wb") as f:
+            wtr = FlacWriter(f, 2, 352800, 24)
+            wtr.write(x)
+            wtr.finalize()
+        st = decode_flac(p.read_bytes())
+        assert st.md5_ok
+        return p.stat().st_size / (x.size * 3)
+
+    r_tone = ratio(tone)
+    r_pink = ratio(pink)
+    assert r_tone < 0.45, r_tone
+    assert r_pink < 0.75, r_pink
+
+
 def test_apic_artwork_becomes_picture_block(tmp_path):
     """Embedded art must survive into FLAC as a PICTURE block (type 6),
     byte-identical — VERDICT r2 missing item 2 ("tags copied where
