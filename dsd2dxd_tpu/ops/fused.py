@@ -78,7 +78,10 @@ def fused_eligible(plans: Sequence[PhasePlan], groups: int = 1) -> bool:
             and plans[0].p_in == 8 * groups)
 
 
-def fused_groups(chain: Sequence[Stage]):
+DEFAULT_MAX_GROUPS = 4  # see fused_groups: à-trous beats word rows on chip
+
+
+def fused_groups(chain: Sequence[Stage], max_groups=None):
     """The byte-group count G that makes `chain` runnable by the fused
     kernel with p0 = 8G (stream sample i at phase i mod 8G), or None.
 
@@ -90,8 +93,18 @@ def fused_groups(chain: Sequence[Stage]):
     group g); G ∈ {8, 16} splits each channel's u32 word stream into
     R = G/4 interleaved sublane ROW GROUPS (word w -> row w mod R, lane
     w div R — a cheap device-side transpose in the step prologue), so
-    ÷64/÷128 chains run fully phase-major instead of paying the à-trous
-    undecimated tail (CLAUDE.md round-3 plan (b); VERDICT r2 item 2).
+    ÷64/÷128 chains can run fully phase-major.
+
+    DEFAULT CAP: ``max_groups`` defaults to 4, i.e. ÷64/÷128 chains take
+    the grouped-head + à-trous-tail hybrid, NOT word rows. Measured on
+    chip (2026-08, byte-plane emission active, 16 MiB tiles, 24-bit
+    TPDF): à-trous wins every deep cell — DSD512→352.8k 500x vs 420x,
+    DSD256→176.4k 996x vs 754x, DSD256→88.2k 1093x vs 1083x,
+    DSD128→88.2k 2039x vs 1480x. The 8G phase extractions each scan the
+    full input window, so doubling/quadrupling the phase count costs
+    more than the short undecimated tail stages it removes. Word rows
+    remain selectable (``make_fused_step(groups=8|16)``), chip-validated,
+    for hardware where the trade flips.
     """
     from fractions import Fraction
 
@@ -103,7 +116,8 @@ def fused_groups(chain: Sequence[Stage]):
     if r.denominator != 1 or r.numerator % 8 != 0:
         return None
     g = r.numerator // 8
-    if g not in (1, 2, 4, 8, 16):
+    cap = max_groups if max_groups is not None else DEFAULT_MAX_GROUPS
+    if g not in (1, 2, 4, 8, 16) or g > cap:
         return None
     plans = build_chain_plans(chain, p0=8 * g)
     return g if fused_eligible(plans, g) else None
@@ -365,8 +379,15 @@ def fused_plan(chain: Sequence[Stage]):
 def _fused_layout(chain: Sequence[Stage], groups=None):
     """(plans, groups, tail, r_tail, halo_lanes) shared by the step
     factory and the state initializer. `tail` is ((taps, dilation), ...)
-    in head-output lanes."""
-    plan = fused_plan(chain)
+    in head-output lanes.
+
+    ``groups`` > DEFAULT_MAX_GROUPS explicitly opts a deep chain into
+    G=8/16 word rows instead of the (faster, default) à-trous hybrid."""
+    if (groups is not None and groups > DEFAULT_MAX_GROUPS
+            and fused_groups(chain, max_groups=groups) == groups):
+        plan = (len(chain), groups, 1)
+    else:
+        plan = fused_plan(chain)
     if plan is None:
         raise ValueError("chain not eligible for the fused kernel")
     n_head, g, r_tail = plan
@@ -745,7 +766,7 @@ def hybrid_split(chain: Sequence[Stage]) -> tuple[int, int]:
         if cum % 8 != 0:
             continue
         g = cum // 8
-        if g not in (1, 2, 4, 8, 16):
+        if g not in _WORD_DTYPES:  # row-group heads + tails: untested mix
             continue
         head = tuple(chain[:n])
         if fused_groups(head) == g:

@@ -54,12 +54,18 @@ def test_eligibility():
         get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 176400)) == 2
     assert fused_groups(
         get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)) == 4
-    # ÷64/÷128 exceed the widest word but run fully phase-major via
-    # G=8/16 word ROWS (u32 streams split into G/4 sublane row groups)
+    # ÷64/÷128 exceed the widest word: the DEFAULT plan is the
+    # grouped-head + à-trous-tail hybrid (measured faster on chip than
+    # G=8/16 word rows — see fused_groups docstring)...
     assert fused_groups(
-        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)) == 8
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)) is None
+    # ...but word rows remain selectable by raising the cap
     assert fused_groups(
-        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 88200)) == 16
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200),
+        max_groups=16) == 8
+    assert fused_groups(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 88200),
+        max_groups=16) == 16
 
 
 GROUPED_CONFIGS = [
@@ -133,31 +139,56 @@ def test_fused_matches_phase_streaming(rate, out_hz, channels):
 
 
 DEEP_CONFIGS = [
-    (DsdRate.DSD128, 88200),   # ÷64: G=8 word rows (2 row groups)
-    (DsdRate.DSD256, 88200),   # ÷128: G=16 word rows (4 row groups)
+    (DsdRate.DSD128, 88200),   # ÷64: head ÷32 (G=4) + 1-stage à-trous tail
+    (DsdRate.DSD256, 88200),   # ÷128: head ÷32 (G=4) + 2-stage tail
     (DsdRate.DSD512, 352800),  # ÷64 at the highest input rate
 ]
 
 
 def _synthetic_div256_chain():
-    """÷256 pure-decimation chain (not a matrix cell): exercises the
-    grouped-head + à-trous-tail hybrid, which word rows (G<=16) made a
-    fallback rather than the production path for every matrix cell."""
+    """÷256 pure-decimation chain (not a matrix cell): exercises a
+    3-stage à-trous tail, deeper than any production cell's."""
     chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 88200)
     from dsd2dxd_tpu.filters.design import Stage
 
     return tuple(chain) + (Stage(taps=chain[-1].taps, L=1, M=2),)
 
 
-def test_hybrid_atrous_fallback_still_works():
-    """÷256 (G=32, beyond word rows): head ÷128 runs G=16 word rows and
-    the last ÷2 stage runs à-trous in-kernel with r_tail=2."""
+def test_word_rows_optin_matches_phase():
+    """G=8 word rows (u32 row groups) stay selectable via the explicit
+    `groups` override and in lockstep with the phase path — kept
+    chip-validated as the alternative layout for hardware where the
+    à-trous-vs-word-rows trade flips (see fused_groups docstring)."""
+    from dsd2dxd_tpu.filters.design import chain_ratio
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
+                     dither=DitherType.NONE, level_db=-1.0)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True,
+                                        groups=8)
+    pstep = make_phase_step(chain, cfg)
+    state = jnp.asarray(init_fused_halo(chain, 2, groups=8))
+    assert state.shape[0] == 4  # 2 row groups x 2 channels
+    hists = init_phase_hists(build_chain_plans(chain), 2)
+    rng = np.random.default_rng(3)
+    skip = int(halo_bytes * 8 * chain_ratio(chain)) + 1
+    for t in range(2):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        oh, ph, state = fstep(prep_input(x, 8), state, t)
+        op, pp, hists = pstep(x, hists, jax.random.PRNGKey(t))
+        s = skip if t == 0 else 0
+        assert np.max(np.abs(np.asarray(oh)[s:] - np.asarray(op)[s:])) < 2e-6
+
+
+def test_hybrid_atrous_three_stage_tail():
+    """÷256: head ÷32 (G=4) + THREE à-trous tail stages (r_tail=8)."""
     from dsd2dxd_tpu.filters.design import chain_ratio
     from dsd2dxd_tpu.ops.fused import fused_plan
 
     chain = _synthetic_div256_chain()
     n_head, g, r_tail = fused_plan(chain)
-    assert (n_head, g, r_tail) == (len(chain) - 1, 16, 2)
+    assert (n_head, g, r_tail) == (5, 4, 8)
     tile = 16384 * 2
     cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
                      dither=DitherType.NONE, level_db=-1.0)
@@ -184,9 +215,10 @@ def test_hybrid_atrous_fallback_still_works():
                                               (24, DitherType.NONE)])
 def test_deep_chain_fused_matches_phase_streaming(rate, out_hz, bit_depth,
                                                   dither):
-    """÷64+ chains run fully phase-major via G=8/16 word rows — the TPU
-    production path for the deepest 44.1k cells; keep it in lockstep
-    with the phase path (CLAUDE.md invariant), incl. the int epilogue.
+    """÷64+ chains run the grouped head + in-kernel à-trous tail — the
+    TPU production path for the deepest 44.1k cells (measured faster
+    than word rows once byte-plane emission removed the epilogue cost);
+    keep it in lockstep with the phase path, incl. the int epilogue.
     (TPDF uses the on-core PRNG, which has no CPU interpret-mode lowering
     — its statistics are asserted on real hardware, tools/chipcheck.py.)"""
     from dsd2dxd_tpu.filters.design import chain_ratio
@@ -194,7 +226,7 @@ def test_deep_chain_fused_matches_phase_streaming(rate, out_hz, bit_depth,
 
     chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
     n_head, g, r_tail = fused_plan(chain)
-    assert n_head == len(chain) and r_tail == 1 and g in (8, 16)
+    assert n_head < len(chain) and r_tail > 1 and g == 4
     tile = 16384 * 2
     cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
                      dither=dither, level_db=-1.0)
@@ -247,15 +279,15 @@ RATIONAL_CONFIGS = [
     # multiple of both the kernel block and the chain unit (2^m·147 bits)
     (DsdRate.DSD64, 384000, 2688, 18816),    # ÷8 head (G=1) + ×160/147
     (DsdRate.DSD64, 96000, 10752, 75264),    # ÷32 head (G=4) + ×160/147
+    (DsdRate.DSD256, 96000, 10752, 75264),   # ÷128 head (à-trous tail)
 ]
 
-# Heavier single-combo configs (interpret-mode cost is high at these
-# tile sizes): the batch=4 de-block permutation on the rational path
-# (round-2 advisor finding) and a deep G=8 word-rows head (÷64; the
-# G-row lane alignment forces tiles of 147·G·128 bytes).
+# Heavier single-combo config (interpret-mode cost is high at this tile
+# size): block sized so the head runs sublane batch=4 — pins the batched
+# de-block permutation on the rational path in CI (round-2 advisor
+# finding — previously hardware-only coverage via chipcheck).
 SINGLE_COMBO_RATIONAL = [
     (DsdRate.DSD64, 384000, 21504, 150528),   # batch=4 rational head
-    (DsdRate.DSD128, 96000, 2048, 301056),    # G=8 word-rows head
 ]
 
 
