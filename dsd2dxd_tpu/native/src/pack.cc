@@ -71,6 +71,63 @@ DSDKIT_API void dsdkit_interleave24(const uint8_t* planes, size_t rows,
   }
 }
 
+// Blocked byte planes -> (frames, channels) int32 samples (sign-
+// extended 24-bit). Feeds consumers that want frame-major ints — the
+// FLAC encoder — straight from the kernel's plane output, skipping the
+// device-side de-block/interleave entirely.
+DSDKIT_API void dsdkit_deplane24(const uint8_t* planes, size_t rows,
+                                 size_t cols, uint32_t channels,
+                                 uint32_t batch, uint32_t sub,
+                                 size_t n_frames, int32_t* out) {
+  const size_t plane = rows * cols;
+  const uint8_t* lo = planes;
+  const uint8_t* mid = planes + plane;
+  const uint8_t* hi = planes + 2 * plane;
+  if (batch <= 1) sub = (uint32_t)cols;
+  size_t f = 0;
+  int32_t* o = out;
+  while (f < n_frames) {
+    size_t run = sub - (f % sub);
+    if (run > n_frames - f) run = n_frames - f;
+    for (uint32_t cc = 0; cc < channels; ++cc) {
+      size_t idx = run_base(f, cc, channels, batch, sub, cols);
+      const uint8_t* l = lo + idx;
+      const uint8_t* m = mid + idx;
+      const uint8_t* h = hi + idx;
+      int32_t* oc = o + cc;
+      for (size_t k = 0; k < run; ++k, oc += channels) {
+        uint32_t v = (uint32_t)l[k] | ((uint32_t)m[k] << 8)
+                     | ((uint32_t)h[k] << 16);
+        *oc = (int32_t)(v << 8) >> 8;  // sign-extend 24 -> 32
+      }
+    }
+    f += run;
+    o += (size_t)run * channels;
+  }
+}
+
+DSDKIT_API void dsdkit_deplane16(const int16_t* data, size_t rows,
+                                 size_t cols, uint32_t channels,
+                                 uint32_t batch, uint32_t sub,
+                                 size_t n_frames, int32_t* out) {
+  (void)rows;
+  if (batch <= 1) sub = (uint32_t)cols;
+  size_t f = 0;
+  int32_t* o = out;
+  while (f < n_frames) {
+    size_t run = sub - (f % sub);
+    if (run > n_frames - f) run = n_frames - f;
+    for (uint32_t cc = 0; cc < channels; ++cc) {
+      size_t idx = run_base(f, cc, channels, batch, sub, cols);
+      const int16_t* s = data + idx;
+      int32_t* oc = o + cc;
+      for (size_t k = 0; k < run; ++k, oc += channels) *oc = s[k];
+    }
+    f += run;
+    o += (size_t)run * channels;
+  }
+}
+
 DSDKIT_API void dsdkit_interleave16(const int16_t* data, size_t rows,
                                     size_t cols, uint32_t channels,
                                     uint32_t batch, uint32_t sub,

@@ -49,6 +49,12 @@ CancelFn = Callable[[], bool]
 
 _DEFAULT_TILE_TARGET = 4 * 1024 * 1024  # DSD bytes per channel per tile
 
+# Outstanding drains in the triple-overlap pipeline (read/upload of
+# t+1 || compute of t || D2H+write of t-1). 0 serializes the drain
+# after each dispatch — the pre-round-3 behavior, kept settable so the
+# overlap gain stays measurable A/B (bench.py --config).
+MAX_PENDING_DRAINS = 2
+
 
 def _file_seed(path: Optional[Path]) -> int:
     """Per-file dither seed base: derived from the input path so two
@@ -88,7 +94,8 @@ def _tile_bytes_for(chain, target_bytes: int) -> int:
 
 
 @lru_cache(maxsize=32)
-def _cached_step(chain_key, cfg, want_planes: bool = False):
+def _cached_step(chain_key, cfg, want_planes: bool = False,
+                 out_shift: int = 0):
     """(step(x, state, tile_idx) -> (pcm, peak, state), make_state(),
     prep(planes) -> host array the step consumes, plane_layout).
 
@@ -123,8 +130,7 @@ def _cached_step(chain_key, cfg, want_planes: bool = False):
             layout = None
             if want_planes and cfg.bit_depth != 32:
                 fstep, _halo, layout = fused.make_fused_step(
-                    chain, cfg, emit="planes",
-                    out_shift=4 if cfg.bit_depth == 20 else 0)
+                    chain, cfg, emit="planes", out_shift=out_shift)
             else:
                 fstep, _halo = fused.make_fused_step(chain, cfg)
             groups = fused.fused_plan(chain)[1]
@@ -382,8 +388,13 @@ class Converter:
             if mesh is not None:
                 return self._run_tile_sharded(mesh, chain, ratio, cfg,
                                               cancel, progress, sink)
+            # every int-output sink takes the kernel's byte planes: the
+            # packed drains interleave them to wire bytes, FLAC rebuilds
+            # frame-major int32 via the native deplaner
             step, make_state, prep, self._plane_layout = _cached_step(
-                chain_key, cfg, want_planes=self._packed is not None)
+                chain_key, cfg,
+                want_planes=sink is not None and not float_out,
+                out_shift=self._packed[1] if self._packed else 0)
             state = make_state()
             if self.device is not None:
                 import jax
@@ -444,7 +455,7 @@ class Converter:
                     tile_idx += 1
                     drains.append(pool.submit(do_drain,
                                               (out, tile_peak, n_valid)))
-                    while len(drains) > 2:
+                    while len(drains) > MAX_PENDING_DRAINS:
                         drains.popleft().result()
                     if progress is not None and total_bytes:
                         pct = min(100.0 * consumed / total_bytes,
@@ -522,7 +533,7 @@ class Converter:
         # multi-second tunnel compile per file in a batch.
         ch = self.source.info.channels
         if sink is not None and n_valid > 0:
-            if self._plane_layout is not None:
+            if self._plane_layout is not None and self._packed is not None:
                 # the kernel emitted the wire bytes (blocked layout);
                 # one native host pass interleaves frames — no device
                 # permute/pack ops at all (ops/fused emit="planes")
@@ -532,6 +543,13 @@ class Converter:
                 write_packed(interleave_planes(
                     np.asarray(out), self._plane_layout, n_valid,
                     big_endian))
+            elif self._plane_layout is not None:
+                # frame-major int consumer (FLAC): native deplaner
+                # rebuilds (frames, C) int32 from the blocked planes
+                from dsd2dxd_tpu.pipeline.transfer import deplane_frames
+
+                sink(deplane_frames(np.asarray(out), self._plane_layout,
+                                    n_valid))
             elif self._packed is not None:
                 # 16/20/24-bit drain: pack ON DEVICE (int16, or 3 byte-
                 # planes for 24-bit) so the wire carries 2-3 bytes/sample

@@ -114,6 +114,39 @@ def interleave_planes_numpy(planes: np.ndarray, layout, n_frames: int,
     return np.ascontiguousarray(a).tobytes()
 
 
+def deplane_frames(planes: np.ndarray, layout, n_frames: int) -> np.ndarray:
+    """Blocked kernel planes -> (frames, channels) int32 samples (sign-
+    extended 24-bit), for consumers that want frame-major ints (FLAC).
+    Native fast path; numpy fallback doubles as the test oracle."""
+    from dsd2dxd_tpu.native import lib as native
+
+    planes = np.ascontiguousarray(planes)
+    if native is not None:
+        return native.deplane_frames(planes, layout, n_frames)
+    return deplane_frames_numpy(planes, layout, n_frames)
+
+
+def deplane_frames_numpy(planes: np.ndarray, layout,
+                         n_frames: int) -> np.ndarray:
+    c, b, sub = layout.channels, layout.batch, layout.sub_cols
+    if planes.ndim == 2:  # int16
+        a = planes
+        if b > 1:
+            a = (a.reshape(b, c, -1, sub).transpose(2, 0, 3, 1)
+                 .reshape(-1, c))
+        else:
+            a = a[:c].T
+        return a[:n_frames].astype(np.int32)
+    a = planes.astype(np.int64)
+    v = a[0] | (a[1] << 8) | (a[2] << 16)
+    v = np.where(v >= 1 << 23, v - (1 << 24), v)
+    if b > 1:
+        v = v.reshape(b, c, -1, sub).transpose(2, 0, 3, 1).reshape(-1, c)
+    else:
+        v = v[:c].T
+    return v[:n_frames].astype(np.int32)
+
+
 def unpack16_host(v: np.ndarray, big_endian: bool = False) -> bytes:
     """Flat int16 device result -> 16-bit wire bytes (LE or BE)."""
     v = np.asarray(v)

@@ -436,6 +436,16 @@ def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
     if native is not None:
         assert native.interleave_planes(opn, layout, n,
                                         big_endian) == expect
+    # frame-major int32 reconstruction (the FLAC drain path)
+    from dsd2dxd_tpu.pipeline.transfer import (
+        deplane_frames,
+        deplane_frames_numpy,
+    )
+
+    want = (of.astype(np.int64) << shift).astype(np.int32)
+    np.testing.assert_array_equal(deplane_frames_numpy(opn, layout, n), want)
+    if native is not None:
+        np.testing.assert_array_equal(deplane_frames(opn, layout, n), want)
     # partial final tile: the interleaver trims to n_valid frames
     n_part = n - 37
     assert (interleave_planes_numpy(opn, layout, n_part, big_endian)
