@@ -666,7 +666,8 @@ def kernel_covers(chain: Sequence[Stage], bit_depth: int, dither) -> bool:
 
 def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
-                             interpret: bool = False, jit: bool = True):
+                             interpret: bool = False, jit: bool = True,
+                             emit: str = "frames", out_shift: int = 0):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
 
@@ -680,6 +681,15 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
     step(x_w, (halo, hist), seed) -> (pcm (n_out, C), peak,
                                       (new_halo, new_hist))
     Returns (step, halo_bytes).
+
+    ``emit="planes"`` (int depths): XLA fuses the wire-byte split into
+    the same jit — step returns (3, C, n_out) u8 planes (16-bit:
+    (C, n_out) int16) in channel-major order, described by a batch=1
+    `PlaneLayout`, so the engine's blocked-plane drains (native
+    interleaver / deplaner) consume it unchanged. Packing from the
+    (C, n) PRE-transpose samples keeps n on the lane axis (the flat
+    frame-major variant forced an XLA relayout that cost more than the
+    pack pass it replaced — measured on chip).
     """
     import dataclasses
 
@@ -728,6 +738,34 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         out, peak = finish_tile(interleave_phases(z), cfg,
                                 jax.random.fold_in(base_key, seed), gain)
         return out, peak, (new_halo, new_hist)
+
+    if emit == "planes":
+        if cfg.bit_depth == 32:
+            raise ValueError("byte-plane emission is for integer depths")
+        n_out = int(n_base * rstage.L) // rstage.M
+        layout = PlaneLayout(channels=cfg.channels, rows=cfg.channels,
+                             batch=1, sub_cols=n_out, cols=n_out,
+                             bit_depth=cfg.bit_depth)
+
+        def step_planes(x_w, state, seed):
+            out, peak, new_state = step(x_w, state, seed)
+            # out is (n, C) = finish_tile's transpose; undo it so the
+            # sample index stays on the LANE axis (XLA cancels .T.T)
+            v = out.T.astype(jnp.uint32)
+            if out_shift:
+                v = v << out_shift
+            if cfg.bit_depth == 16:
+                wire = v.astype(jnp.int16)
+            else:
+                wire = jnp.stack([
+                    (v & 0xFF).astype(jnp.uint8),
+                    ((v >> 8) & 0xFF).astype(jnp.uint8),
+                    ((v >> 16) & 0xFF).astype(jnp.uint8),
+                ])
+            return wire, peak, new_state
+
+        return ((jax.jit(step_planes, donate_argnums=(1,)) if jit
+                 else step_planes), halo_bytes, layout)
 
     return (jax.jit(step, donate_argnums=(1,)) if jit else step), halo_bytes
 

@@ -153,7 +153,12 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
         # 48k-family chains: fused kernel for the ÷2^m head, XLA polyphase
         # for the trailing ×160/147 family stage + epilogue.
         try:
-            rstep, _halo = fused.make_fused_rational_step(chain, cfg)
+            layout = None
+            if want_planes and cfg.bit_depth != 32:
+                rstep, _halo, layout = fused.make_fused_rational_step(
+                    chain, cfg, emit="planes", out_shift=out_shift)
+            else:
+                rstep, _halo = fused.make_fused_rational_step(chain, cfg)
             groups = fused.fused_plan(chain[:-1])[1]
 
             def make_state():
@@ -166,7 +171,7 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
             def prep(planes, _g=groups):
                 return fused.prep_input(planes, _g)
 
-            return rstep, make_state, prep, None
+            return rstep, make_state, prep, layout
         except ValueError:
             pass
     pstep = make_phase_step(chain, cfg)

@@ -452,6 +452,61 @@ def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
             == expect[:n_part * 2 * (2 if depth == 16 else 3)])
 
 
+@pytest.mark.parametrize("depth,shift", [(24, 0), (16, 0), (20, 4)])
+def test_rational_planes_match_frames(depth, shift):
+    """Rational-step emit="planes": channel-major (3, C, n) planes fused
+    into the step's jit must interleave to the same wire bytes as the
+    frames output + host packers, and the FLAC-side deplaner must invert
+    exactly (the layout is a batch=1 PlaneLayout, so the engine's
+    blocked-plane drains consume it unchanged)."""
+    from dsd2dxd_tpu.ops.fused import (
+        PlaneLayout,
+        init_fused_rational_state,
+        make_fused_rational_step,
+    )
+    from dsd2dxd_tpu.pipeline.transfer import (
+        deplane_frames,
+        interleave_planes,
+    )
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
+    cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=depth,
+                     dither=DitherType.NONE, level_db=-1.0)
+    fstep, _h = make_fused_rational_step(chain, cfg, block_bytes=2688,
+                                         interpret=True)
+    pstep, _h2, layout = make_fused_rational_step(
+        chain, cfg, block_bytes=2688, interpret=True, emit="planes",
+        out_shift=shift)
+    assert isinstance(layout, PlaneLayout) and layout.batch == 1
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 256, size=(2, 18816), dtype=np.uint8)
+
+    def st():
+        halo, hist = init_fused_rational_state(chain, 2)
+        return (jnp.asarray(halo), hist)
+
+    of, pkf, _ = fstep(x, st(), 0)
+    ow, pkw, _ = pstep(x, st(), 0)
+    of, ow = np.asarray(of), np.asarray(ow)
+    n = of.shape[0]
+    assert layout.cols == n
+    assert float(pkf) == float(pkw)
+    v = (of.reshape(-1).astype(np.int64) << shift)
+    if depth == 16:
+        expect = of.astype(np.int16).tobytes()
+    else:
+        b = np.empty((len(v), 3), np.uint8)
+        vv = (v & 0xFFFFFF).astype(np.uint32)
+        b[:, 0] = vv & 0xFF
+        b[:, 1] = (vv >> 8) & 0xFF
+        b[:, 2] = (vv >> 16) & 0xFF
+        expect = b.tobytes()
+    assert interleave_planes(ow, layout, n) == expect
+    np.testing.assert_array_equal(
+        deplane_frames(ow, layout, n),
+        (of.astype(np.int64) << shift).astype(np.int32))
+
+
 def test_planes_emission_atrous_extraction():
     """emit="planes" on an r_tail>1 chain (synthetic ÷256): the phase-0
     extraction happens on the blocked planes without any transpose."""
