@@ -1,0 +1,132 @@
+"""On-chip sweep of the fused kernel's per-grid-step block size.
+
+DEFAULT_BLOCK_BYTES (16 KiB) sets how much input each Pallas grid step
+consumes. All rate-matrix cells do ~5.2-5.7M slice-FMA elements per
+16 KiB block (see round-3 cost model), so per-block overhead (grid
+bookkeeping, DMA issue, rotate-heavy epilogues on short lanes) taxes
+every cell equally in block units — and deep cells 4-8x harder in
+real-time units, because they chew that many more input blocks per
+audio second. This sweep measures whether a bigger block amortizes it.
+
+    python tools/blockbench.py [--cells DSD512:352800,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+CELLS = [
+    ("DSD64", 352800), ("DSD64", 88200),
+    ("DSD256", 192000), ("DSD512", 352800),
+]
+BLOCKS = [8192, 16384, 32768, 65536, 131072]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", default=None)
+    ap.add_argument("--blocks", default=None)
+    ap.add_argument("--tile-mib", type=int, default=16)
+    ap.add_argument("--mxu", choices=["auto", "off"], default="auto",
+                    help="MXU head on eligible cells (A/B vs slice-FMA)")
+    args = ap.parse_args()
+    mxu = None if args.mxu == "auto" else False
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsd2dxd_tpu.filters.design import get_chain
+    from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.ops.resample import StepConfig
+    from dsd2dxd_tpu.pipeline.engine import _tile_bytes_for
+    from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
+    if jax.default_backend() != "tpu":
+        print(f"ERROR: backend is {jax.default_backend()}", file=sys.stderr)
+        return 2
+
+    cells = CELLS
+    if args.cells:
+        cells = [(n, int(o)) for n, o in
+                 (c.split(":") for c in args.cells.split(","))]
+    blocks = BLOCKS if not args.blocks else [
+        int(b) for b in args.blocks.split(",")]
+    rng = np.random.default_rng(0)
+    digest = jax.jit(lambda p: jnp.stack(
+        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
+
+    for rate_name, out_hz in cells:
+        rate = DsdRate[rate_name]
+        chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+        big = _tile_bytes_for(chain, args.tile_mib * 1024 * 1024,
+                              rate.hz)
+        cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
+                         dither=DitherType.TPDF, level_db=0.0)
+        rational = fused.fused_plan(chain) is None
+        print(f"{rate_name}->{out_hz} tile={big} "
+              f"({'rational' if rational else 'plain'}):")
+        for bb in blocks:
+            if big % bb:
+                print(f"  block={bb:>7}: tile not divisible, skip")
+                continue
+            try:
+                if rational:
+                    step, halo_b, _layout = fused.make_fused_rational_step(
+                        chain, cfg, block_bytes=bb, emit="planes",
+                        mxu=mxu)
+                    n_head = fused.fused_rational_plan(chain)
+                    g = fused.fused_plan(chain[:n_head])[1]
+
+                    def make_state(chain=chain):
+                        h, hist = fused.init_fused_rational_state(chain, 2)
+                        return (jnp.asarray(h), hist)
+                else:
+                    step, halo_b, _layout = fused.make_fused_step(
+                        chain, cfg, block_bytes=bb, emit="planes",
+                        mxu=mxu)
+                    g = fused.fused_plan(chain)[1]
+
+                    def make_state(chain=chain):
+                        return jnp.asarray(fused.init_fused_halo(chain, 2))
+            except Exception as e:  # alignment/VMEM constraints
+                print(f"  block={bb:>7}: build failed: {e}")
+                continue
+            tiles = [chunked_device_put(fused.prep_input(
+                rng.integers(0, 256, size=(2, big), dtype=np.uint8), g))
+                for _ in range(6)]
+            jax.block_until_ready(tiles)
+
+            def run():
+                state = make_state()
+                t0 = time.perf_counter()
+                ds = []
+                for i, xt in enumerate(tiles):
+                    out, pk, state = step(xt, state, i)
+                    ds.append(digest(out))
+                np.asarray(jnp.stack(ds).sum(axis=0))
+                return time.perf_counter() - t0
+
+            try:
+                run()
+            except Exception as e:
+                print(f"  block={bb:>7}: run failed: "
+                      f"{str(e).splitlines()[0][:120]}")
+                continue
+            best = min(run() for _ in range(3))
+            xrt = len(tiles) * big * 8 / rate.hz / best
+            us_per_16k = best / (len(tiles) * big / 16384) * 1e6
+            print(f"  block={bb:>7}: {xrt:6.0f}x RT   "
+                  f"{us_per_16k:6.2f} us per 16KiB-equivalent")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
