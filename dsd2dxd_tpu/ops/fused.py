@@ -38,11 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsd2dxd_tpu.filters.design import Stage
 from dsd2dxd_tpu.formats.dsd_types import DitherType
-from dsd2dxd_tpu.ops.phase import PhasePlan, build_chain_plans
+from dsd2dxd_tpu.ops.phase import (
+    PhasePlan,
+    build_chain_plans,
+    build_plan,
+    plan_dense_coefs,
+    plan_window,
+)
 from dsd2dxd_tpu.ops.resample import StepConfig
 
 IDLE_BYTE = 0x69  # DSD silence (alternating ±1)
 DEFAULT_BLOCK_BYTES = 16384  # lane-block per grid step (VMEM-sized)
+DEEP_BLOCK_BYTES = 65536  # bigger grid block for high-input-rate chains
 
 
 from dataclasses import dataclass
@@ -129,6 +136,81 @@ def word_rows(groups: int) -> int:
     return max(1, groups // 4)
 
 
+_MXU_SPLITS = 3  # bf16 panel splits; see _mxu_panels
+
+
+def mxu_head_count(head: Sequence[Stage], groups: int) -> int:
+    """How many leading head stages to compose into ONE in-kernel MXU
+    matmul (0 = none).
+
+    The slice-FMA cascade is VPU-bound and stage 0 dominates it (p0
+    output phases each scanning the input window). Composing the first
+    stages down to p_out = 8 (cumulative decimation = `groups`) turns
+    them into a single dense FIR evaluated as a block-diagonal matmul on
+    the otherwise-idle MXU: out[rho*R + r, k] = sum_{p,w} g[rho,p,w] *
+    B[p*R + r, k + w] with B the ±1 phase rows stacked on the sublane
+    axis — i.e. kron(g_w, I_R) panels, one dot per window shift w.
+    Composition (Noble identity: h0 * (h1 upsampled by M0) then
+    decimate by M0*M1) is exact; the panel is built from f64 taps.
+
+    Stopping at p_out = 8 keeps the matmul M dimension at p_out*R = 64+
+    rows (R = 8 sublane rows: batch*C or the padded channel rows) —
+    composing further would shrink M below an MXU tile while widening
+    the dense window, strictly increasing systolic-array passes."""
+    cum = 1
+    n = 0
+    for s in head:
+        if s.L != 1 or cum * s.M > groups:
+            break
+        cum *= s.M
+        n += 1
+    return n
+
+
+def _compose_stages(stages: Sequence[Stage]):
+    """(f64 taps, M) of the single filter equivalent to the cascade of
+    pure-decimation `stages` (filter-then-decimate composition)."""
+    taps = np.asarray(stages[0].taps, dtype=np.float64)
+    cum = stages[0].M
+    for s in stages[1:]:
+        up = np.zeros((len(s.taps) - 1) * cum + 1, dtype=np.float64)
+        up[::cum] = np.asarray(s.taps, dtype=np.float64)
+        taps = np.convolve(taps, up)
+        cum *= s.M
+    return taps, cum
+
+
+def _mxu_panels(comp_plan: PhasePlan, r_rows: int):
+    """Per-window-shift bf16 coefficient panels for the MXU head.
+
+    Returns [(n_split*p_out*R, p_in*R) bf16] — for each lane shift w,
+    kron(g[:, :, w], I_R) split into `_MXU_SPLITS` bf16 residual panels
+    stacked on the M axis. The kernel's ±1 operand is EXACT in bf16, so
+    only the coefficients need splitting: three residual levels give
+    ~2^-27 relative coefficient error (vs bf16's 2^-9, or 2^-18 for
+    two), keeping the composed stage's output within the f32 phase
+    path's own rounding noise — measured on chip via tools/chipcheck.py
+    (the MXU's raw bf16 default costs ~10^4 LSB at 24-bit, CLAUDE.md).
+    One dot per w computes all splits: the M axis is n_split * p_out * R
+    rows, full MXU row tiles, and the kernel band-sums the splits."""
+    import ml_dtypes
+
+    g3 = plan_dense_coefs(comp_plan, dtype=np.float64)
+    _lo, w_len = plan_window(comp_plan)
+    eye = np.eye(r_rows, dtype=np.float64)
+    panels = []
+    for w in range(w_len):
+        ghat = np.kron(g3[:, :, w], eye)
+        splits = []
+        rem = ghat
+        for _ in range(_MXU_SPLITS):
+            s_b = rem.astype(ml_dtypes.bfloat16)
+            splits.append(s_b)
+            rem = rem - s_b.astype(np.float64)
+        panels.append(np.concatenate(splits, axis=0))
+    return panels
+
+
 def chain_halo_lanes(plans: Sequence[PhasePlan]) -> int:
     """Lane halo so every stage's left context is in-block: with s==1
     everywhere, stage j needs hist_lanes extra lanes of its input. At the
@@ -156,7 +238,8 @@ def _uniform01(shape):
 def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                   halo: int, gain: float, c_pad: int, n_blocks: int,
                   groups: int, tail, r_tail: int, batch: int,
-                  emit: str = "frames", out_shift: int = 0, rr: int = 1):
+                  emit: str = "frames", out_shift: int = 0, rr: int = 1,
+                  mxu_meta=None):
     c_real = cfg.channels
     # Sublane batching: with C < 8 channels the cascade rows waste most
     # of each (8, 128) vector register (measured: C=1/2/4 take the SAME
@@ -183,8 +266,11 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
     # right edge (halo may exceed the exact context after 128-alignment)
     extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0] - k_sub)
 
+    n_panels = mxu_meta[0] if mxu_meta else 0
+
     def kernel(seed_ref, x_hbm, *refs):
-        out_ref, peak_ref, xb_vmem, sem = refs
+        panel_refs = refs[:n_panels]
+        out_ref, peak_ref, xb_vmem, sem = refs[n_panels:]
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(i * block_lanes, halo + block_lanes)],
@@ -221,14 +307,50 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                     xi, (r * c_real, 0), ((r + 1) * c_real, xi.shape[1])))
             else:
                 xg.append(xi)
-        rows = []
-        for p in range(8 * groups):
-            b_idx = p // 8  # byte index inside the G-byte lane
-            src = xg[b_idx // 4] if rr > 1 else xg[0]
-            biw = b_idx % 4 if rr > 1 else b_idx
-            shift = 8 * biw + 7 - (p % 8)
-            rows.append(((src >> shift) & 1).astype(jnp.float32) * 2.0 - 1.0)
-        for j, plan in enumerate(plans):
+        if mxu_meta:
+            # MXU head (see mxu_head_count): plans[0] is the composed
+            # stage. Unpack straight to ±1 bf16 (exact) stacked
+            # phase-major on the sublane axis, then one dot per window
+            # shift w against the kron(g_w, I_R) split panels; band-sum
+            # the splits. The f32 phase rows for the composed stages
+            # never materialize.
+            w_len, lo_m = mxu_meta
+            cp = plans[0]
+            m_rows = cp.p_out * r_rows
+            parts = []
+            for p in range(8 * groups):
+                shift = 8 * (p // 8) + 7 - (p % 8)
+                parts.append((((xg[0] >> shift) & 1) * 2 - 1)
+                             .astype(jnp.bfloat16))
+            b_all = jnp.concatenate(parts, axis=0)  # (p_in*R, win)
+            k0 = need[0]
+            contribs = []
+            for w in range(w_len):
+                start = extra0 + cp.hist_lanes + lo_m + w
+                xw = jax.lax.slice(b_all, (0, start),
+                                   (b_all.shape[0], start + k0))
+                ow = jax.lax.dot_general(
+                    panel_refs[w][:, :], xw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for s_i in range(_MXU_SPLITS):
+                    contribs.append(jax.lax.slice(
+                        ow, (s_i * m_rows, 0), ((s_i + 1) * m_rows, k0)))
+            o_full = _tree_sum(contribs)  # (p_out*R, k0)
+            rows = [jax.lax.slice(o_full, (rho * r_rows, 0),
+                                  ((rho + 1) * r_rows, k0))
+                    for rho in range(cp.p_out)]
+            j_start = 1
+        else:
+            rows = []
+            for p in range(8 * groups):
+                b_idx = p // 8  # byte index inside the G-byte lane
+                src = xg[b_idx // 4] if rr > 1 else xg[0]
+                biw = b_idx % 4 if rr > 1 else b_idx
+                shift = 8 * biw + 7 - (p % 8)
+                rows.append(((src >> shift) & 1).astype(jnp.float32)
+                            * 2.0 - 1.0)
+            j_start = 0
+        for j, plan in list(enumerate(plans))[j_start:]:
             h = plan.hist_lanes
             k_out = need[j]
             new_rows = []
@@ -376,6 +498,47 @@ def fused_plan(chain: Sequence[Stage]):
     return (n_head, g, r_tail)
 
 
+def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
+    """Grid block (input bytes per Pallas grid step) for `chain`.
+
+    The kernel has a ~5.7 us per-16KiB-block floor (block DMA + the
+    8G-phase unpack + epilogue — measured on chip with a minimal-taps
+    chain, round 3). High-input-rate cells chew 4-8x more input blocks
+    per audio second, so the floor taxes them hardest in real-time
+    units; a 64 KiB block amortizes it (DSD512->352.8k measured
+    500->560x RT on chip; 128 KiB was no better and 256 KiB fails to
+    compile). Shallow/low-rate cells keep the 16 KiB default: the
+    larger working set buys them nothing measurable.
+
+    ``in_hz`` (the DSD bit rate) is the right eligibility key — block
+    count per audio second is input bytes, not chain decimation. When
+    the caller doesn't know it, total ÷2^k decimation >= 64 is the
+    proxy (those chains only exist for DSD256+ inputs).
+
+    Applies to both the plain fused step and the rational step's head
+    (the decimation the kernel itself runs is what sets block count)."""
+    plan = fused_plan(chain)
+    if plan is None:
+        n_head = fused_rational_plan(chain)
+        if n_head is None:
+            return DEFAULT_BLOCK_BYTES
+        plan = fused_plan(chain[:n_head])
+        if plan is None:  # pragma: no cover - rational implies plain head
+            return DEFAULT_BLOCK_BYTES
+    _n_head, g, r_tail = plan
+    deep = (in_hz >= 11_289_600 if in_hz is not None
+            else 8 * g * r_tail >= 64)
+    # The limit is block LANES, not bytes: the kernel unpacks 8G phase
+    # rows over the lane block, so VMEM scales with block_bytes/G.
+    # 16384 lanes compiles everywhere (measured); 65536 lanes fails
+    # Mosaic compilation (DSD256->1411.2k g=1 at 64 KiB, 256 KiB g=4).
+    bb = min(DEEP_BLOCK_BYTES, g * 16384)
+    if (not deep or bb <= DEFAULT_BLOCK_BYTES
+            or bb % (g * 128) != 0 or (bb // g) % r_tail != 0):
+        return DEFAULT_BLOCK_BYTES
+    return bb
+
+
 def _fused_layout(chain: Sequence[Stage], groups=None):
     """(plans, groups, tail, r_tail, halo_lanes) shared by the step
     factory and the state initializer. `tail` is ((taps, dilation), ...)
@@ -423,7 +586,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                     block_bytes: int = DEFAULT_BLOCK_BYTES,
                     interpret: bool = False,
                     jit: bool = True, transpose: bool = True,
-                    groups=None, emit: str = "frames", out_shift: int = 0):
+                    groups=None, emit: str = "frames", out_shift: int = 0,
+                    mxu: bool | None = None):
     """Build the fused per-tile step for any chain `fused_plan` covers.
 
     step(x (C, tile_bytes/G) words, halo (C, halo_words) words, seed i32)
@@ -472,10 +636,6 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     idle_word = int.from_bytes(bytes([IDLE_BYTE]) * min(groups, 4), "little")
     block_lanes = block_bytes // groups
     tile_lanes = cfg.tile_bytes // groups  # output samples * r_tail
-    coef_tables = tuple(
-        tuple(tuple(float(t.coef) for t in terms) for terms in p.terms)
-        for p in plans
-    )
     gain = 10.0 ** (cfg.level_db / 20.0)
     c = cfg.channels
     rows_in = rr * c
@@ -493,9 +653,38 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         raise ValueError(f"unknown emit mode {emit!r}")
     if emit == "planes" and cfg.bit_depth == 32:
         raise ValueError("byte-plane emission is for integer depths")
-    kernel = _build_kernel(plans, coef_tables, cfg, k_sub, halo_lanes,
+    # MXU head: compose the leading stages into one matmul when the
+    # layout supports it (no word rows, full 8-sublane rows — the kron
+    # identity block and the per-phase output slices then stay aligned
+    # to the 8-sublane register tile).
+    n_mxu = 0
+    if mxu is not False and rr == 1 and r_rows == 8:
+        n_mxu = mxu_head_count(list(chain)[:len(plans)], groups)
+    if mxu and not n_mxu:
+        raise ValueError("chain/layout not eligible for the MXU head")
+    if n_mxu:
+        comp_taps, comp_m = _compose_stages(list(chain)[:n_mxu])
+        comp_plan = build_plan(Stage(taps=comp_taps, L=1, M=comp_m),
+                               8 * groups)
+        plans_k = (comp_plan,) + tuple(plans[n_mxu:])
+        lo_m, w_len = plan_window(comp_plan)
+        panels_np = _mxu_panels(comp_plan, r_rows)
+        mxu_meta = (w_len, lo_m)
+    else:
+        plans_k, panels_np, mxu_meta = plans, [], None
+    coef_tables = tuple(
+        tuple(tuple(float(t.coef) for t in terms) for terms in p.terms)
+        for p in plans_k
+    )
+    kernel = _build_kernel(plans_k, coef_tables, cfg, k_sub, halo_lanes,
                            gain, c_pad, n_blocks, groups, tail, r_tail,
-                           batch, emit, out_shift, rr)
+                           batch, emit, out_shift, rr, mxu_meta)
+    panel_args = [jnp.asarray(p, dtype=jnp.bfloat16) for p in panels_np]
+    panel_specs = [
+        pl.BlockSpec(p.shape, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in panels_np
+    ]
 
     if emit == "planes" and cfg.bit_depth in (20, 24):
         pcm_specs = [pl.BlockSpec((3 * r_rows, k_sub), lambda i, *_: (0, i),
@@ -516,6 +705,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # (C, halo+tile lanes) HBM
+            *panel_specs,
         ],
         out_specs=[
             *pcm_specs,
@@ -565,7 +755,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
 
         def step_planes(x_w, halo_in, seed):
             xin, xin_k = _prologue(x_w, halo_in)
-            pcm, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
+            pcm, peak = call(jnp.asarray([seed], dtype=jnp.int32),
+                             xin_k, *panel_args)
             new_halo = xin[:, xin.shape[1] - halo_lanes:]
             if r_tail > 1:
                 # keep decimation phase 0 of the à-trous output; stays in
@@ -583,7 +774,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
 
     def step(x_w, halo_in, seed, *, _transpose=transpose):
         xin, xin_k = _prologue(x_w, halo_in)
-        out, peak = call(jnp.asarray([seed], dtype=jnp.int32), xin_k)
+        out, peak = call(jnp.asarray([seed], dtype=jnp.int32),
+                         xin_k, *panel_args)
         new_halo = xin[:, xin.shape[1] - halo_lanes:]
         if batch > 1:
             # de-block the sublane batching with ONE permutation that
@@ -667,7 +859,8 @@ def kernel_covers(chain: Sequence[Stage], bit_depth: int, dither) -> bool:
 def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
                              interpret: bool = False, jit: bool = True,
-                             emit: str = "frames", out_shift: int = 0):
+                             emit: str = "frames", out_shift: int = 0,
+                             mxu: bool | None = None):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
 
@@ -713,7 +906,7 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                                    dither=DitherType.NONE, level_db=0.0)
     hstep, halo_bytes = make_fused_step(head, head_cfg, block_bytes,
                                         interpret=interpret, jit=False,
-                                        transpose=False)
+                                        transpose=False, mxu=mxu)
     plan = build_plan(rstage, p_in=1)
     r_head = 1
     for s in head:

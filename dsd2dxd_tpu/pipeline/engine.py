@@ -71,7 +71,7 @@ def _file_seed(path: Optional[Path]) -> int:
     return int.from_bytes(h[:4], "little") & 0x3FFFFFFF
 
 
-def _tile_bytes_for(chain, target_bytes: int) -> int:
+def _tile_bytes_for(chain, target_bytes: int, in_hz: int | None = None) -> int:
     """Tile size (bytes/channel) aligned so every stage of the phase-major
     pipeline keeps integral lane counts (ops/phase.py) — and, when the
     chain will run a fused Pallas path on TPU, also to the kernel's grid
@@ -87,7 +87,8 @@ def _tile_bytes_for(chain, target_bytes: int) -> int:
 
         if (fused.fused_plan(chain) is not None
                 or fused.fused_rational_plan(chain) is not None):
-            unit_bits = math.lcm(unit_bits, fused.DEFAULT_BLOCK_BYTES * 8)
+            unit_bits = math.lcm(
+                unit_bits, fused.pick_block_bytes(chain, in_hz) * 8)
     target_bits = target_bytes * 8
     n_units = max(1, -(-target_bits // unit_bits))
     return n_units * unit_bits // 8
@@ -123,16 +124,19 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
     )
 
     chain = get_chain(*chain_key)
+    block_bytes = fused.pick_block_bytes(chain, chain_key[1].hz)
     if (jax.default_backend() == "tpu"
-            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0
+            and cfg.tile_bytes % block_bytes == 0
             and fused.fused_plan(chain) is not None):
         try:
             layout = None
             if want_planes and cfg.bit_depth != 32:
                 fstep, _halo, layout = fused.make_fused_step(
-                    chain, cfg, emit="planes", out_shift=out_shift)
+                    chain, cfg, block_bytes=block_bytes, emit="planes",
+                    out_shift=out_shift)
             else:
-                fstep, _halo = fused.make_fused_step(chain, cfg)
+                fstep, _halo = fused.make_fused_step(
+                    chain, cfg, block_bytes=block_bytes)
             groups = fused.fused_plan(chain)[1]
 
             def make_state():
@@ -148,7 +152,7 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
         except ValueError:
             pass  # cfg not kernel-expressible (e.g. FPD): phase path
     if (jax.default_backend() == "tpu"
-            and cfg.tile_bytes % fused.DEFAULT_BLOCK_BYTES == 0
+            and cfg.tile_bytes % block_bytes == 0
             and fused.fused_rational_plan(chain) is not None):
         # 48k-family chains: fused kernel for the ÷2^m head, XLA polyphase
         # for the trailing ×160/147 family stage + epilogue.
@@ -156,9 +160,11 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
             layout = None
             if want_planes and cfg.bit_depth != 32:
                 rstep, _halo, layout = fused.make_fused_rational_step(
-                    chain, cfg, emit="planes", out_shift=out_shift)
+                    chain, cfg, block_bytes=block_bytes, emit="planes",
+                    out_shift=out_shift)
             else:
-                rstep, _halo = fused.make_fused_rational_step(chain, cfg)
+                rstep, _halo = fused.make_fused_rational_step(
+                    chain, cfg, block_bytes=block_bytes)
             groups = fused.fused_plan(chain[:-1])[1]
 
             def make_state():
@@ -380,7 +386,7 @@ class Converter:
                 # so its rephase-padding memory profile gates them too
                 mult = min(mult, 4)
             tile_bytes = _tile_bytes_for(
-                chain, self.tile_target_bytes * mult)
+                chain, self.tile_target_bytes * mult, info.rate.hz)
             cfg = StepConfig(
                 channels=info.channels,
                 tile_bytes=tile_bytes,

@@ -618,3 +618,38 @@ def test_kernel_covers_implies_step_constructs():
                     raise AssertionError(
                         f"kernel_covers said yes but construction failed "
                         f"for {rate} -> {out_hz} {depth}b {dither}: {e}")
+
+
+def test_pick_block_bytes_policy():
+    """High-input-rate cells get the 64 KiB grid block (amortizes the
+    measured ~5.7us per-16KiB-block kernel floor); DSD64/128 keep the
+    16 KiB default. The chosen block must satisfy the kernel's own
+    alignment constraints for the cell it's chosen for."""
+    from dsd2dxd_tpu.ops.fused import (
+        DEEP_BLOCK_BYTES,
+        DEFAULT_BLOCK_BYTES,
+        fused_rational_plan,
+        pick_block_bytes,
+    )
+    from dsd2dxd_tpu.formats.dsd_types import valid_output_rates
+
+    for rate in DsdRate:
+        for out_hz in valid_output_rates(rate):
+            chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+            if fused_plan(chain) is None and fused_rational_plan(chain) is None:
+                continue
+            bb = pick_block_bytes(chain, rate.hz)
+            plan = fused_plan(chain) or fused_plan(
+                chain[:fused_rational_plan(chain)])
+            _, g, r_tail = plan
+            if rate.hz >= DsdRate.DSD256.hz and g > 1:
+                # lane-capped: block lanes never exceed 16384 (VMEM)
+                assert bb == min(DEEP_BLOCK_BYTES, g * 16384), (rate, out_hz)
+            else:
+                assert bb == DEFAULT_BLOCK_BYTES, (rate, out_hz)
+            assert bb % (g * 128) == 0 and (bb // g) % r_tail == 0
+    # rate-less fallback: total ÷2^k decimation >= 64 is the proxy
+    deep = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD512, 352800)
+    shallow = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    assert pick_block_bytes(deep) == DEEP_BLOCK_BYTES
+    assert pick_block_bytes(shallow) == DEFAULT_BLOCK_BYTES

@@ -65,6 +65,7 @@ def main() -> int:
         fused_plan,
         init_fused_halo,
         make_fused_step,
+        pick_block_bytes,
         prep_input,
     )
     from dsd2dxd_tpu.ops.phase import (
@@ -90,15 +91,18 @@ def main() -> int:
     cells = [c for c in CELLS
              if args.only is None or args.only in f"{c[0]}:{c[1]}"]
 
-    def cell_build(chain):
+    def cell_build(chain, in_hz):
         """(make_step(cfg) -> (step, halo_bytes), init_state(), g, label)
-        for whichever fused path covers `chain`."""
+        for whichever fused path covers `chain`. Uses the engine's own
+        block-size policy so this validates the production build."""
+        bb = pick_block_bytes(chain, in_hz)
         plan = fused_plan(chain)
         if plan is not None:
             n_head, g, r_tail = plan
-            return ((lambda cfg: make_fused_step(chain, cfg)),
+            return ((lambda cfg: make_fused_step(chain, cfg,
+                                                 block_bytes=bb)),
                     (lambda: jnp.asarray(init_fused_halo(chain, 2))),
-                    g, f"head={n_head} G={g} r_tail={r_tail}")
+                    g, f"head={n_head} G={g} r_tail={r_tail} blk={bb}")
         n_head = fused_rational_plan(chain)
         if n_head is None:
             return None
@@ -108,19 +112,22 @@ def main() -> int:
             halo, hist = init_fused_rational_state(chain, 2)
             return (jnp.asarray(halo), hist)
 
-        return ((lambda cfg: make_fused_rational_step(chain, cfg)),
+        return ((lambda cfg: make_fused_rational_step(chain, cfg,
+                                                      block_bytes=bb)),
                 init_state, g,
-                f"head={n_head} G={g} tail=x{chain[-1].L}/{chain[-1].M}")
+                f"head={n_head} G={g} tail=x{chain[-1].L}/{chain[-1].M} "
+                f"blk={bb}")
 
     for rate_name, out_hz in (() if args.no_correctness else cells):
         rate = DsdRate[rate_name]
         chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
-        built = cell_build(chain)
+        built = cell_build(chain, rate.hz)
         if built is None:
             print(f"{rate_name}->{out_hz}: no fused plan (skipped)")
             continue
         make_step, init_state, g, label = built
-        tile = _tile_bytes_for(chain, args.tile_mib * 1024 * 1024)
+        tile = _tile_bytes_for(chain, args.tile_mib * 1024 * 1024,
+                               rate.hz)
         ratio = chain_ratio(chain)
 
         # float + int24 equivalence vs phase path, streamed

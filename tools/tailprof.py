@@ -110,7 +110,7 @@ def main() -> int:
     import dsd2dxd_tpu.ops.phase as phase_mod
 
     def windows_only(yy, hh):
-        xx = yy[:, None, :]
+        xx = phase_mod.rephase(yy[:, None, :], plan.rephase)
         c, p_in, k_in = xx.shape
         H = plan.hist_lanes
         s = plan.lane_stride
