@@ -156,7 +156,16 @@ def mxu_head_count(head: Sequence[Stage], groups: int) -> int:
     Stopping at p_out = 8 keeps the matmul M dimension at p_out*R = 64+
     rows (R = 8 sublane rows: batch*C or the padded channel rows) —
     composing further would shrink M below an MXU tile while widening
-    the dense window, strictly increasing systolic-array passes."""
+    the dense window, strictly increasing systolic-array passes.
+
+    Bake-off result (round 3, on chip, after the bitcast unpack and
+    pick_block_bytes landed): a WASH on every measured cell —
+    DSD512→352.8k 539 vs 544x, DSD64→352.8k 3461 vs 3546x,
+    DSD256→192k 700 vs 696x (tools/blockbench.py --mxu on/off). The
+    per-block floor is DMA + the 8G-row unpack, which the MXU head
+    still pays in full; the FMA work it removes is not the binding
+    cost. Kept as an opt-in (`make_fused_step(mxu=True)`) in case the
+    trade flips on hardware with a wider VPU/MXU gap."""
     cum = 1
     n = 0
     for s in head:
@@ -227,6 +236,18 @@ def chain_halo_bytes(plans: Sequence[PhasePlan], groups: int = 1) -> int:
 
 
 from dsd2dxd_tpu.ops.phase import tree_sum as _tree_sum  # shared reduction
+
+
+def _pm1(inv_word: jax.Array, shift: int) -> jax.Array:
+    """±1.0f from bit `shift` of the COMPLEMENTED stream word, by bit
+    surgery instead of int→float conversion: park the complement bit in
+    the f32 sign position, OR in the 1.0f exponent, reinterpret. Three
+    cheap int ops per phase row vs shift/and/convert/mul/sub — the 8G-row
+    unpack is most of the kernel's per-block floor (round-3 floor
+    decomposition), so this is the hot path. `<< 31` discards every bit
+    except bit 0, so no mask is needed."""
+    return pltpu.bitcast(((inv_word >> shift) << 31) | 0x3F800000,
+                         jnp.float32)
 
 
 def _uniform01(shape):
@@ -317,11 +338,11 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
             w_len, lo_m = mxu_meta
             cp = plans[0]
             m_rows = cp.p_out * r_rows
+            inv0 = ~xg[0]
             parts = []
             for p in range(8 * groups):
                 shift = 8 * (p // 8) + 7 - (p % 8)
-                parts.append((((xg[0] >> shift) & 1) * 2 - 1)
-                             .astype(jnp.bfloat16))
+                parts.append(_pm1(inv0, shift).astype(jnp.bfloat16))
             b_all = jnp.concatenate(parts, axis=0)  # (p_in*R, win)
             k0 = need[0]
             contribs = []
@@ -341,14 +362,14 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                     for rho in range(cp.p_out)]
             j_start = 1
         else:
+            inv_g = [~x for x in xg]
             rows = []
             for p in range(8 * groups):
                 b_idx = p // 8  # byte index inside the G-byte lane
-                src = xg[b_idx // 4] if rr > 1 else xg[0]
+                src = inv_g[b_idx // 4] if rr > 1 else inv_g[0]
                 biw = b_idx % 4 if rr > 1 else b_idx
                 shift = 8 * biw + 7 - (p % 8)
-                rows.append(((src >> shift) & 1).astype(jnp.float32)
-                            * 2.0 - 1.0)
+                rows.append(_pm1(src, shift))
             j_start = 0
         for j, plan in list(enumerate(plans))[j_start:]:
             h = plan.hist_lanes
@@ -653,12 +674,13 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         raise ValueError(f"unknown emit mode {emit!r}")
     if emit == "planes" and cfg.bit_depth == 32:
         raise ValueError("byte-plane emission is for integer depths")
-    # MXU head: compose the leading stages into one matmul when the
-    # layout supports it (no word rows, full 8-sublane rows — the kron
+    # MXU head (opt-in; chip bake-off was a wash — see mxu_head_count):
+    # compose the leading stages into one matmul when the layout
+    # supports it (no word rows, full 8-sublane rows — the kron
     # identity block and the per-phase output slices then stay aligned
     # to the 8-sublane register tile).
     n_mxu = 0
-    if mxu is not False and rr == 1 and r_rows == 8:
+    if mxu and rr == 1 and r_rows == 8:
         n_mxu = mxu_head_count(list(chain)[:len(plans)], groups)
     if mxu and not n_mxu:
         raise ValueError("chain/layout not eligible for the MXU head")

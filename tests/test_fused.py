@@ -653,3 +653,39 @@ def test_pick_block_bytes_policy():
     shallow = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
     assert pick_block_bytes(deep) == DEEP_BLOCK_BYTES
     assert pick_block_bytes(shallow) == DEFAULT_BLOCK_BYTES
+
+
+def test_mxu_head_optin_matches_phase():
+    """The opt-in MXU head (compose leading stages into one in-kernel
+    bf16x3-split matmul) stays in lockstep with the phase path — kept
+    chip-measured as a wash vs the slice-FMA cascade (see
+    mxu_head_count docstring) for hardware where that trade flips."""
+    from dsd2dxd_tpu.filters.design import chain_ratio
+    from dsd2dxd_tpu.ops.fused import mxu_head_count
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 88200)
+    assert mxu_head_count(chain, 4) > 0
+    tile = 16384 * 2
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=32,
+                     dither=DitherType.NONE, level_db=-1.0)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True,
+                                        mxu=True)
+    pstep = make_phase_step(chain, cfg)
+    state = jnp.asarray(init_fused_halo(chain, 2))
+    hists = init_phase_hists(build_chain_plans(chain), 2)
+    rng = np.random.default_rng(7)
+    skip = int(halo_bytes * 8 * chain_ratio(chain)) + 1
+    for t in range(2):
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        oh, ph, state = fstep(prep_input(x, 4), state, t)
+        op, pp, hists = pstep(x, hists, jax.random.PRNGKey(t))
+        s = skip if t == 0 else 0
+        # bf16x3 coefficient splits: ~2^-27 relative coefficient error,
+        # bounded well under the f32 phase path's own rounding noise
+        assert np.max(np.abs(np.asarray(oh)[s:] - np.asarray(op)[s:])) < 5e-6
+    with pytest.raises(ValueError):
+        # word-row layouts are not MXU-eligible: opting in must raise,
+        # not silently fall back
+        make_fused_step(get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128,
+                                  88200),
+                        cfg, interpret=True, groups=8, mxu=True)

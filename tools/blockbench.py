@@ -34,10 +34,15 @@ def main() -> int:
     ap.add_argument("--cells", default=None)
     ap.add_argument("--blocks", default=None)
     ap.add_argument("--tile-mib", type=int, default=16)
-    ap.add_argument("--mxu", choices=["auto", "off"], default="auto",
-                    help="MXU head on eligible cells (A/B vs slice-FMA)")
+    ap.add_argument("--mxu", choices=["on", "off"], default="off",
+                    help="MXU head on eligible cells (A/B vs slice-FMA; "
+                         "chip bake-off was a wash, default off)")
+    ap.add_argument("--unpack", choices=["bitcast", "legacy"],
+                    default="bitcast",
+                    help="A/B the ±1 unpack: sign-bit surgery vs "
+                         "shift/and/convert/mul/add")
     args = ap.parse_args()
-    mxu = None if args.mxu == "auto" else False
+    mxu = args.mxu == "on"
 
     import jax
     import jax.numpy as jnp
@@ -52,6 +57,12 @@ def main() -> int:
     if jax.default_backend() != "tpu":
         print(f"ERROR: backend is {jax.default_backend()}", file=sys.stderr)
         return 2
+
+    if args.unpack == "legacy":
+        # value = 1 - 2*bit(inv) == the pre-round-3 int→float unpack,
+        # same op count (shift/and/convert/mul/add)
+        fused._pm1 = lambda inv, shift: (
+            ((inv >> shift) & 1).astype(jnp.float32) * -2.0 + 1.0)
 
     cells = CELLS
     if args.cells:
