@@ -293,11 +293,29 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
         panel_refs = refs[:n_panels]
         out_ref, peak_ref, xb_vmem, sem = refs[n_panels:]
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(i * block_lanes, halo + block_lanes)],
-            xb_vmem, sem)
-        cp.start()
-        cp.wait()
+
+        # Double-buffered block DMA: grid steps run sequentially on the
+        # core and scratch persists across them, so step i kicks off the
+        # HBM->VMEM copy for block i+1 into the other slot before it
+        # waits on its own — the next block streams in while this one
+        # computes. The old start();wait() exposed the full DMA latency
+        # every block, a solid slice of the measured ~5.7us/16KiB floor.
+        slot = jax.lax.rem(i, 2)
+
+        def dma(idx, s):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(idx * block_lanes, halo + block_lanes)],
+                xb_vmem.at[s], sem.at[s])
+
+        @pl.when(i == 0)
+        def _():
+            dma(i, slot).start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            dma(i + 1, 1 - slot).start()
+
+        dma(i, slot).wait()
         # Mosaic prefers flat 2D vectors: keep the stream as a LIST of
         # per-phase (R, K) f32 arrays instead of one (R, P, K) tensor.
         # One lane is one little-endian WORD of `groups` stream bytes
@@ -305,7 +323,7 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
         # words for free), so phase r = 8*(byte g of the word) + bitpos
         # is bit 8g + 7 - bitpos of the word: every one of the 8G phase
         # rows is a shift/mask away, with no gathers and no relayout.
-        xw = xb_vmem[:, :]
+        xw = xb_vmem[slot]
         xi = (pltpu.bitcast(xw, jnp.int32) if xw.dtype == jnp.uint32
               else xw.astype(jnp.int32))
         # Fan the word window into sublane-stacked sub-blocks ONCE per
@@ -735,8 +753,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c_pad, halo_lanes + block_lanes), wdt),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, c_pad, halo_lanes + block_lanes), wdt),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
