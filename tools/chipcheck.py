@@ -257,8 +257,12 @@ def main() -> int:
         eu = np.concatenate(ulp_errs)
         rms_u = float(np.sqrt(np.mean(eu ** 2)))
         # TPDF noise var 1/6 plus the f32 rounding of the sum (var 1/12):
-        # total 0.25 -> RMS 0.5 ulp (measured 0.500); |e| <= 1 + 0.5 ulp
-        if not (0.44 < rms_u < 0.56) or np.abs(eu).max() > 1.6:
+        # total 0.25 -> RMS 0.5 ulp (measured 0.500). Max |e|: 1 ulp
+        # dither + 0.5 ulp rounding in-binade, but when the dither pushes
+        # the sum across a binade boundary the rounding happens at DOUBLE
+        # the undithered value's ulp -> |e| can legitimately reach
+        # exactly 2.0 (observed: DSD256->96k max=2.0000, rms=0.4999).
+        if not (0.44 < rms_u < 0.56) or np.abs(eu).max() > 2.05:
             print(f"FAIL {rate_name}->{out_hz} FPD stats: "
                   f"rms={rms_u:.4f} ulp max={np.abs(eu).max():.4f}")
             failures += 1
