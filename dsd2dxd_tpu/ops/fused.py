@@ -932,8 +932,10 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         build_plan,
         finish_tile,
         interleave_phases,
+        plan_banded_natural,
         stage_apply_phase,
         stage_apply_phase_matmul,
+        stage_apply_rational_natural,
     )
 
     n_head = fused_rational_plan(chain)
@@ -957,18 +959,40 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
             f"tile emits {n_base} base samples, not aligned to the "
             f"rational stage's {plan.p_in} phases")
     dtype = jnp.dtype(cfg.dtype)
-    coefs, n_terms = build_chain_coefs((plan,), dtype)
-    apply = (stage_apply_phase_matmul
-             if n_terms[0] > _MATMUL_TERM_THRESHOLD else stage_apply_phase)
+    banded = plan_banded_natural(plan)
+    if banded is not None:
+        # Banded-natural tail: the (160, 294) dense phase-major einsum is
+        # only ~6% dense, and at Precision.HIGHEST its 94%-zeros operand
+        # streams through the MXU six times. In NATURAL layout the band
+        # collapses to one (p_out, ~164) dense einsum over free-reshape
+        # block windows with no rephase/interleave transposes — measured
+        # 3.10 -> 2.43 ms on chip for the DSD256->192k tail
+        # (tools/tailbanded.py, 2026-08-17).
+        band = jnp.asarray(banded[0], dtype=dtype)
+        nhist = banded[1]
+
+        def tail(y, hist):
+            return stage_apply_rational_natural(y.astype(dtype), hist,
+                                                plan, band, nhist)
+    else:
+        coefs, n_terms = build_chain_coefs((plan,), dtype)
+        apply = (stage_apply_phase_matmul
+                 if n_terms[0] > _MATMUL_TERM_THRESHOLD
+                 else stage_apply_phase)
+
+        def tail(y, hist):
+            z, new_hist = apply(y[:, None, :].astype(dtype), hist, plan,
+                                coefs[0])
+            return interleave_phases(z), new_hist
+
     gain = 10.0 ** (cfg.level_db / 20.0)
     base_key = jax.random.PRNGKey(0x5D5D)
 
     def step(x_w, state, seed):
         halo, hist = state
         y, _head_peak, new_halo = hstep(x_w, halo, seed)  # (C, n_base) f32
-        z, new_hist = apply(y[:, None, :].astype(dtype), hist, plan,
-                            coefs[0])
-        out, peak = finish_tile(interleave_phases(z), cfg,
+        z, new_hist = tail(y, hist)
+        out, peak = finish_tile(z, cfg,
                                 jax.random.fold_in(base_key, seed), gain)
         return out, peak, (new_halo, new_hist)
 

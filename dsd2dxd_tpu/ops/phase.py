@@ -268,6 +268,72 @@ def stage_apply_phase_matmul(x: jax.Array, hist: jax.Array, plan: PhasePlan,
     return y, new_hist
 
 
+def plan_banded_natural(plan: PhasePlan):
+    """Natural-layout band form of an upsampling rational stage.
+
+    The (p_out, p_in, W) dense tensor of `plan_dense_coefs` is only ~6%
+    dense for the ×160/147 stage, and feeding it costs two transposes
+    (the rephase in, `interleave_phases` out). But the band structure
+    makes both free in NATURAL layout: output block p_out*k .. p_out*k +
+    p_out-1 reads exactly the consecutive input samples p_in*k - nhist
+    .. p_in*k + p_in - 1 (each output phase's taps land on consecutive
+    stream offsets by construction — i_off = (M*rho - k)/L steps by 1;
+    and max_rho i_off = floor(M*(p_out-1)/L) < p_in whenever L > M). So
+    the stage is: free reshape (C, n) -> (C, K, p_in), one history
+    concat on the minor axis -> (C, K, U), ONE einsum with the dense
+    (p_out, U) band, free reshape back. No transposes, no W-stack;
+    measured on chip vs the phase-major matmul in tools/tailbanded.py.
+
+    Returns (band (p_out, U) f32 ndarray, nhist) or None when the plan
+    isn't band-eligible (decimating stage, band wider than one block, or
+    a phase with gaps — none of which the 48k-family tail produces).
+    """
+    p = plan.p_in
+    offs_all = []
+    for terms in plan.terms:
+        offs = sorted(t.base * p + t.r_in for t in terms)
+        if any(b - a != 1 for a, b in zip(offs, offs[1:])):
+            return None
+        offs_all.append(offs)
+    omin = min(o[0] for o in offs_all)
+    omax = max(o[-1] for o in offs_all)
+    nhist = -omin
+    if nhist <= 0 or nhist > p or omax >= p or plan.hist_lanes != 1:
+        return None
+    band = np.zeros((plan.p_out, p + nhist), dtype=np.float32)
+    for rho, terms in enumerate(plan.terms):
+        for t in terms:
+            band[rho, t.base * p + t.r_in + nhist] += t.coef
+    return band, nhist
+
+
+def stage_apply_rational_natural(y: jax.Array, hist: jax.Array,
+                                 plan: PhasePlan, band: jax.Array,
+                                 nhist: int) -> tuple[jax.Array, jax.Array]:
+    """Banded-natural form of the rational tail (see plan_banded_natural).
+
+    y: (C, n) natural-order float samples; hist: the same (C, p_in, 1)
+    phase-major history `stage_apply_phase*` carries (its natural suffix
+    is the band's history), so the streaming state is interchangeable.
+    Returns ((C, n_out) natural order, new hist).
+    """
+    c, n = y.shape
+    p = plan.p_in
+    k = n // p
+    yr = y.reshape(c, k, p)
+    hflat = hist[:, :, 0][:, -nhist:] if nhist < p else hist[:, :, 0]
+    prev = jnp.concatenate([hflat[:, None, :], yr[:, :-1, p - nhist:]],
+                           axis=1)
+    w = jnp.concatenate([prev, yr], axis=2)  # (C, K, nhist + p_in)
+    z = jnp.einsum("cku,pu->ckp", w, band,
+                   preferred_element_type=y.dtype,
+                   # HIGHEST: same 24-bit-floor reasoning as the
+                   # phase-major matmul form above
+                   precision=jax.lax.Precision.HIGHEST)
+    new_hist = yr[:, -1, :][:, :, None]
+    return z.reshape(c, k * plan.p_out), new_hist
+
+
 _MATMUL_TERM_THRESHOLD = 192
 
 

@@ -180,3 +180,43 @@ def test_engine_uses_phase_path(tmp_path):
 
     rate = struct.unpack("<I", raw[24:28])[0]
     assert rate == 96000
+
+
+def test_banded_natural_matches_matmul_streaming():
+    """The banded-natural rational tail must be band-eligible for every
+    48k-family ×160/147 stage and stay in lockstep with the phase-major
+    matmul form across streamed tiles — including the (C, p_in, 1)
+    history hand-off the two forms share (states are interchangeable, so
+    fused.make_fused_rational_step can dispatch on eligibility without a
+    state migration)."""
+    from dsd2dxd_tpu.ops.phase import (
+        interleave_phases,
+        plan_banded_natural,
+        stage_apply_rational_natural,
+    )
+
+    # only the E bank serves 48k-family rates (check_filter_choice)
+    for rate in (DsdRate.DSD64, DsdRate.DSD128, DsdRate.DSD256):
+        for out_hz in (96000, 192000, 384000):
+            stage = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)[-1]
+            assert (stage.L, stage.M) == (160, 147)
+            plan = build_plan(stage, p_in=1)
+            assert plan_banded_natural(plan) is not None, (rate, out_hz)
+
+    stage = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 192000)[-1]
+    plan = build_plan(stage, p_in=1)
+    band_np, nhist = plan_banded_natural(plan)
+    band = jnp.asarray(band_np)
+    g = jnp.asarray(plan_dense_coefs(plan))
+    rng = np.random.default_rng(7)
+    h_m = jnp.zeros((2, plan.p_in, plan.hist_lanes), dtype=jnp.float32)
+    h_n = h_m
+    n = plan.p_in * 64
+    for _ in range(3):
+        y = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        zm, h_m = stage_apply_phase_matmul(y[:, None, :], h_m, plan, g)
+        zn, h_n = stage_apply_rational_natural(y, h_n, plan, band, nhist)
+        np.testing.assert_allclose(np.asarray(interleave_phases(zm)),
+                                   np.asarray(zn), rtol=2e-5, atol=2e-6)
+        # identical state convention: last p_in natural samples
+        np.testing.assert_array_equal(np.asarray(h_m), np.asarray(h_n))
