@@ -243,7 +243,13 @@ def main() -> int:
 
     variants = [("matmul", to_nat(f_matmul)), ("jloop", to_nat(f_jloop)),
                 ("gather", to_nat(f_gather)),
-                ("natural", make_natural(jax.lax.Precision.HIGHEST))]
+                ("natural", make_natural(jax.lax.Precision.HIGHEST)),
+                # HIGH = 3 bf16 passes vs HIGHEST's 6: halves the MXU
+                # work IF accuracy holds — judge by the LSB24 column
+                # below (vs the host f64 oracle), not the err column
+                # (which only measures distance from the f32 baseline).
+                ("nat-high", make_natural(jax.lax.Precision.HIGH)),
+                ("nat-bf16", make_natural(jax.lax.Precision.DEFAULT))]
     for B in (int(b) for b in args.blocks.split(",")):
         variants.append((f"block{B}", to_nat(make_block(B))))
 
@@ -266,6 +272,20 @@ def main() -> int:
     hist = jnp.asarray(hist_np)
     secs = n_base / (out_hz * 147 / 160)
     print(f"  n_base={n_base} ({secs:.2f}s audio at the base rate)")
+    # host f64 oracle on a prefix (full tile would be slow in numpy):
+    # the banded form itself, double precision — accuracy ground truth
+    # for the precision variants (max error in 24-bit LSBs).
+    assert U == p_in + nhist, "oracle assumes the in-block band shape"
+    n_orc = min(n_base, p_in * 512)
+    k_orc = n_orc // p_in
+    yr64 = y_np[:, :n_orc].astype(np.float64).reshape(2, k_orc, p_in)
+    prev64 = np.concatenate(
+        [hist_np.astype(np.float64)[:, None, :, 0][:, :, p_in - nhist:],
+         yr64[:, :-1, p_in - nhist:]], axis=1)
+    w64 = np.concatenate([prev64, yr64], axis=2)
+    z64 = np.einsum("cku,pu->ckp", w64,
+                    B_np.astype(np.float64)).reshape(2, k_orc * p_out)
+    lsb24 = 2.0 ** -23
     ref = None
     for name, fn in variants:
         f = jax.jit(fn)
@@ -274,15 +294,18 @@ def main() -> int:
         except Exception as e:
             print(f"  {name:<8}: failed: {str(e).splitlines()[0][:100]}")
             continue
+        zn = np.asarray(z)
         if ref is None:
-            ref = np.asarray(z)
+            ref = zn
             scale = np.abs(ref).max()
             err = 0.0
         else:
-            err = float(np.abs(np.asarray(z) - ref).max() / scale)
+            err = float(np.abs(zn - ref).max() / scale)
+        e64 = np.abs(zn[:, :k_orc * p_out].astype(np.float64) - z64)
         t = bench(f, (y, hist))
         print(f"  {name:<8}: {t*1e3:7.2f} ms  ({secs/t:6.0f}x RT)  "
-              f"err={err:.1e}")
+              f"err={err:.1e}  max={e64.max()/lsb24:7.2f} LSB24 "
+              f"rms={np.sqrt((e64**2).mean())/lsb24:.3f}")
     return 0
 
 
