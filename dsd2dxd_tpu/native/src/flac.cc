@@ -193,17 +193,20 @@ struct MD5 {
     // branching on i cost ~30% of the digest time
 #define MD5_STEP(f, w, x, y, zz, g, s, i)                     \
   w = x + rotl(w + (f) + K[i] + m[g], s)
+    // rounds 1-2 use the 3-op muxer identities (x&y)|(~x&z) == z^(x&(y^z))
+    // and (z&x)|(~z&y) == y^(z&(x^y)) — one op fewer per step than the
+    // textbook and/andnot/or form
     for (int i = 0; i < 16; i += 4) {
-      MD5_STEP((B & C) | (~B & D), A, B, C, D, i, 7, i);
-      MD5_STEP((A & B) | (~A & C), D, A, B, C, i + 1, 12, i + 1);
-      MD5_STEP((D & A) | (~D & B), C, D, A, B, i + 2, 17, i + 2);
-      MD5_STEP((C & D) | (~C & A), B, C, D, A, i + 3, 22, i + 3);
+      MD5_STEP(D ^ (B & (C ^ D)), A, B, C, D, i, 7, i);
+      MD5_STEP(C ^ (A & (B ^ C)), D, A, B, C, i + 1, 12, i + 1);
+      MD5_STEP(B ^ (D & (A ^ B)), C, D, A, B, i + 2, 17, i + 2);
+      MD5_STEP(A ^ (C & (D ^ A)), B, C, D, A, i + 3, 22, i + 3);
     }
     for (int i = 16; i < 32; i += 4) {
-      MD5_STEP((D & B) | (~D & C), A, B, C, D, (5 * i + 1) & 15, 5, i);
-      MD5_STEP((C & A) | (~C & B), D, A, B, C, (5 * i + 6) & 15, 9, i + 1);
-      MD5_STEP((B & D) | (~B & A), C, D, A, B, (5 * i + 11) & 15, 14, i + 2);
-      MD5_STEP((A & C) | (~A & D), B, C, D, A, (5 * i + 16) & 15, 20, i + 3);
+      MD5_STEP(C ^ (D & (B ^ C)), A, B, C, D, (5 * i + 1) & 15, 5, i);
+      MD5_STEP(B ^ (C & (A ^ B)), D, A, B, C, (5 * i + 6) & 15, 9, i + 1);
+      MD5_STEP(A ^ (B & (D ^ A)), C, D, A, B, (5 * i + 11) & 15, 14, i + 2);
+      MD5_STEP(D ^ (A & (C ^ D)), B, C, D, A, (5 * i + 16) & 15, 20, i + 3);
     }
     for (int i = 32; i < 48; i += 4) {
       MD5_STEP(B ^ C ^ D, A, B, C, D, (3 * i + 5) & 15, 4, i);
@@ -275,106 +278,173 @@ uint64_t est_cost(uint64_t sum, uint64_t n, int k) {
   return n * (uint64_t(k) + 1) + (sum >> k);
 }
 
-void write_rice(BitWriter& bw, const uint32_t* z, size_t n, int k) {
-  // fast path: quotient+stop-bit+remainder emitted as ONE put when it
-  // fits 32 bits (the overwhelmingly common case: mean quotient < 1)
-  if (k) {
-    uint32_t mask = (1u << k) - 1;
-    for (size_t i = 0; i < n; ++i) {
-      uint32_t q = z[i] >> k;
-      int bits = int(q) + 1 + k;
-      if (bits <= 32) {
-        bw.put((1u << k) | (z[i] & mask), bits);
-      } else {
-        bw.put_unary(q);
-        bw.put(z[i] & mask, k);
+void write_rice(BitWriter& bw, const uint32_t* z, size_t n, int k,
+                uint64_t zsum) {
+  // The partition's total encoded size is known up front from its
+  // zigzag sum: sum(z>>k) <= zsum>>k quotient bits plus n stop bits and
+  // n*k remainder bits. One capacity reservation then lets the whole
+  // loop run on LOCAL accumulator/cursor state with zero per-sample
+  // capacity or spill checks (the member-state put() path was the
+  // encoder's second-largest cost after MD5).
+  uint64_t bound_bits = (zsum >> k) + n * (uint64_t(k) + 1);
+  bw.ensure(bound_bits / 8 + 16);
+  uint64_t acc = bw.acc;
+  int nb = bw.nbits;
+  uint8_t* p = bw.buf.data() + bw.len;
+#define RICE_DRAIN()                                    \
+  if (nb >= 32) {                                       \
+    nb -= 32;                                           \
+    uint32_t be = __builtin_bswap32(uint32_t(acc >> nb)); \
+    memcpy(p, &be, 4);                                  \
+    p += 4;                                             \
+  }
+  uint32_t stop = 1u << k;  // stop bit pre-positioned above k remainder bits
+  uint32_t mask = stop - 1;
+  auto emit_one = [&](uint32_t v, uint32_t q, uint32_t bits) {
+    if (bits <= 32) {
+      acc = (acc << bits) | (stop | (v & mask));
+      nb += int(bits);
+      RICE_DRAIN();
+    } else {
+      while (q >= 24) {
+        acc <<= 24;
+        nb += 24;
+        RICE_DRAIN();
+        q -= 24;
+      }
+      acc = (acc << (q + 1)) | 1u;
+      nb += int(q) + 1;
+      RICE_DRAIN();
+      if (k) {
+        acc = (acc << k) | (v & mask);
+        nb += k;
+        RICE_DRAIN();
       }
     }
-  } else {
-    for (size_t i = 0; i < n; ++i) {
-      uint32_t q = z[i];
-      if (q < 32) bw.put(1, int(q) + 1);
-      else bw.put_unary(q);
+  };
+  // pairs: two codes land in one accumulator insert + one drain check
+  // whenever their combined width fits 32 bits (mean quotient < 1, so
+  // 2*(k+1) + a few quotient bits almost always does)
+  size_t i = 0;
+  for (; i + 2 <= n; i += 2) {
+    uint32_t v0 = z[i], v1 = z[i + 1];
+    uint32_t q0 = v0 >> k, q1 = v1 >> k;
+    uint32_t b0 = q0 + 1 + uint32_t(k), b1 = q1 + 1 + uint32_t(k);
+    uint32_t bb = b0 + b1;
+    if (bb <= 32) {
+      acc = (acc << bb) |
+            (((stop | (v0 & mask)) << b1) | (stop | (v1 & mask)));
+      nb += int(bb);
+      RICE_DRAIN();
+    } else {
+      emit_one(v0, q0, b0);
+      emit_one(v1, q1, b1);
     }
   }
+  if (i < n) {
+    uint32_t v = z[i];
+    uint32_t q = v >> k;
+    emit_one(v, q, q + 1 + uint32_t(k));
+  }
+#undef RICE_DRAIN
+  bw.acc = acc;
+  bw.nbits = nb;
+  bw.len = size_t(p - bw.buf.data());
 }
 
 // Residual block: partitioned Rice, method 0 (4-bit params) or 1 (5-bit).
 // ONE pass computes zigzags + finest partition sums; coarser orders merge
-// pairwise; parameters come from the sums (no per-k rescans).
-void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
-                    int pred_order) {
+// pairwise; parameters come from the sums (no per-k rescans). Split into
+// prep + write so write_subframe can reuse the prep pass's total for the
+// LPC-vs-fixed decision instead of paying a separate abs-sum scan.
+int residual_max_po(size_t block_size, int pred_order) {
   int max_po = 0;
   while (max_po < 6 && (block_size % (1u << (max_po + 1))) == 0 &&
          (block_size >> (max_po + 1)) > uint32_t(pred_order))
     ++max_po;
-  size_t n_res = block_size - pred_order;
-  static thread_local std::vector<uint32_t> z;
-  z.resize(n_res);
+  return max_po;
+}
+
+// zigzag + finest-partition sums over `res` (already offset past the
+// warmup samples); returns the total zigzag sum over all residuals.
+uint64_t zigzag_partition_sums(const int32_t* res, size_t block_size,
+                               int pred_order, int max_po, uint32_t* z,
+                               uint64_t sums[64]) {
   uint32_t parts_max = 1u << max_po;
   size_t cnt_min = block_size / parts_max;
-  std::vector<uint64_t> sums(parts_max, 0);
-  {
-    size_t idx = 0;
-    for (uint32_t p = 0; p < parts_max; ++p) {
-      size_t cnt = cnt_min - (p == 0 ? pred_order : 0);
-      uint64_t s = 0;
-      size_t i = 0;
+  uint64_t total = 0;
+  size_t idx = 0;
+  for (uint32_t p = 0; p < parts_max; ++p) {
+    size_t cnt = cnt_min - (p == 0 ? pred_order : 0);
+    uint64_t s = 0;
+    size_t i = 0;
 #if defined(__AVX2__)
-      if (cnt >= 8) {
-        const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
-        __m256i acc = _mm256_setzero_si256();
-        for (; i + 8 <= cnt; i += 8) {
-          __m256i v = _mm256_loadu_si256((const __m256i*)(res + idx + i));
-          __m256i u = _mm256_xor_si256(_mm256_slli_epi32(v, 1),
-                                       _mm256_srai_epi32(v, 31));
-          _mm256_storeu_si256((__m256i*)(z.data() + idx + i), u);
-          acc = _mm256_add_epi64(acc, _mm256_and_si256(u, lo32));
-          acc = _mm256_add_epi64(acc, _mm256_srli_epi64(u, 32));
-        }
-        alignas(32) uint64_t t[4];
-        _mm256_store_si256((__m256i*)t, acc);
-        s = t[0] + t[1] + t[2] + t[3];
+    if (cnt >= 8) {
+      const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
+      __m256i acc = _mm256_setzero_si256();
+      for (; i + 8 <= cnt; i += 8) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(res + idx + i));
+        __m256i u = _mm256_xor_si256(_mm256_slli_epi32(v, 1),
+                                     _mm256_srai_epi32(v, 31));
+        _mm256_storeu_si256((__m256i*)(z + idx + i), u);
+        acc = _mm256_add_epi64(acc, _mm256_and_si256(u, lo32));
+        acc = _mm256_add_epi64(acc, _mm256_srli_epi64(u, 32));
       }
-#endif
-      for (; i < cnt; ++i) {
-        uint32_t u = zigzag(res[idx + i]);
-        z[idx + i] = u;
-        s += u;
-      }
-      idx += cnt;
-      sums[p] = s;
+      alignas(32) uint64_t t[4];
+      _mm256_store_si256((__m256i*)t, acc);
+      s = t[0] + t[1] + t[2] + t[3];
     }
+#endif
+    for (; i < cnt; ++i) {
+      uint32_t u = zigzag(res[idx + i]);
+      z[idx + i] = u;
+      s += u;
+    }
+    idx += cnt;
+    sums[p] = s;
+    total += s;
   }
-  // pick the partition order with the lowest estimated cost
+  return total;
+}
+
+void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
+                            size_t block_size, int pred_order, int max_po,
+                            const uint64_t sums[64]) {
+  uint32_t parts_max = 1u << max_po;
+  // pick the partition order with the lowest estimated cost; all levels
+  // pack into one flat scratch (level po at offset (1<<po)-1, max_po <= 6
+  // -> 127 slots), so the search allocates nothing per call
   int best_po = max_po;
   uint64_t best_cost = ~0ull;
-  std::vector<uint64_t> level = sums;
-  std::vector<std::vector<uint64_t>> levels(max_po + 1);
-  levels[max_po] = sums;
+  uint64_t lvl[127];
+  auto level_at = [&](int po) { return lvl + ((1u << po) - 1); };
+  memcpy(level_at(max_po), sums, parts_max * sizeof(uint64_t));
   for (int po = max_po - 1; po >= 0; --po) {
-    std::vector<uint64_t> merged(1u << po);
-    for (size_t p = 0; p < merged.size(); ++p)
-      merged[p] = levels[po + 1][2 * p] + levels[po + 1][2 * p + 1];
-    levels[po] = merged;
+    const uint64_t* src = level_at(po + 1);
+    uint64_t* dst = level_at(po);
+    for (size_t p = 0; p < (1u << po); ++p)
+      dst[p] = src[2 * p] + src[2 * p + 1];
   }
   for (int po = 0; po <= max_po; ++po) {
     uint64_t cost = 0;
     uint32_t parts = 1u << po;
     size_t cnt = block_size / parts;
+    const uint64_t* lv = level_at(po);
     for (uint32_t p = 0; p < parts; ++p) {
       uint64_t c = cnt - (p == 0 ? pred_order : 0);
-      cost += est_cost(levels[po][p], c, param_for_sum(levels[po][p], c)) + 4;
+      cost += est_cost(lv[p], c, param_for_sum(lv[p], c)) + 4;
     }
     if (cost < best_cost) { best_cost = cost; best_po = po; }
   }
   uint32_t parts = 1u << best_po;
   size_t cnt_full = block_size / parts;
-  std::vector<int> params(parts);
+  const uint64_t* best_lv = level_at(best_po);
+  static thread_local std::vector<int> params;
+  params.resize(parts);
   bool five_bit = false;
   for (uint32_t p = 0; p < parts; ++p) {
     uint64_t c = cnt_full - (p == 0 ? pred_order : 0);
-    params[p] = param_for_sum(levels[best_po][p], c);
+    params[p] = param_for_sum(best_lv[p], c);
     five_bit |= (params[p] > 14);
   }
   bw.put(five_bit ? 1 : 0, 2);  // residual coding method
@@ -384,51 +454,24 @@ void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
   for (uint32_t p = 0; p < parts; ++p) {
     size_t cnt = cnt_full - (p == 0 ? pred_order : 0);
     bw.put(uint32_t(params[p]), pbits);
-    write_rice(bw, z.data() + idx, cnt, params[p]);
+    write_rice(bw, zp + idx, cnt, params[p], best_lv[p]);
     idx += cnt;
   }
+}
+
+void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
+                    int pred_order) {
+  int max_po = residual_max_po(block_size, pred_order);
+  static thread_local std::vector<uint32_t> z;
+  z.resize(block_size - pred_order);
+  uint64_t sums[64];
+  zigzag_partition_sums(res, block_size, pred_order, max_po, z.data(), sums);
+  write_residual_prepped(bw, z.data(), block_size, pred_order, max_po, sums);
 }
 
 // ---------------------------------------------------------------------------
 // Subframe encoders
 // ---------------------------------------------------------------------------
-
-uint64_t abs_residual_sum(const std::vector<int32_t>& r, size_t from) {
-  uint64_t s = 0;
-  for (size_t i = from; i < r.size(); ++i)
-    s += uint64_t(r[i] < 0 ? -int64_t(r[i]) : int64_t(r[i]));
-  return s;
-}
-
-// Order-2 |residual| sum — the stereo-mode cost heuristic only needs
-// the RELATIVE ordering of L/R/mid/side costs (4 calls per frame).
-uint64_t order2_sum(const int32_t* x, size_t n) {
-  uint64_t s = 0;
-  size_t i = 2;
-#if defined(__AVX2__)
-  if (n >= 18) {
-    const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
-    __m256i acc = _mm256_setzero_si256();
-    for (; i + 8 <= n; i += 8) {
-      __m256i v0 = _mm256_loadu_si256((const __m256i*)(x + i));
-      __m256i v1 = _mm256_loadu_si256((const __m256i*)(x + i - 1));
-      __m256i v2 = _mm256_loadu_si256((const __m256i*)(x + i - 2));
-      __m256i d = _mm256_abs_epi32(_mm256_sub_epi32(
-          _mm256_sub_epi32(v0, v1), _mm256_sub_epi32(v1, v2)));
-      acc = _mm256_add_epi64(acc, _mm256_and_si256(d, lo32));
-      acc = _mm256_add_epi64(acc, _mm256_srli_epi64(d, 32));
-    }
-    alignas(32) uint64_t t[4];
-    _mm256_store_si256((__m256i*)t, acc);
-    s = t[0] + t[1] + t[2] + t[3];
-  }
-#endif
-  for (; i < n; ++i) {
-    int64_t d = int64_t(x[i]) - 2 * int64_t(x[i - 1]) + int64_t(x[i - 2]);
-    s += uint64_t(d < 0 ? -d : d);
-  }
-  return s;
-}
 
 // One pass: |residual| sums for fixed orders 0..4 via running differences.
 void fixed_order_sums_scalar(const int32_t* x, size_t n, size_t from,
@@ -744,17 +787,24 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
   for (int order = 1; order <= 4 && size_t(order) < n; ++order) {
     if (sums[order] < best_sum) { best_sum = sums[order]; best_order = order; }
   }
-  static thread_local std::vector<int32_t> best_res;
-  best_res.resize(n);
-  fixed_residual(x, n, best_order, best_res.data());
-  // LPC candidate
+  // LPC candidate. Its residual's zigzag+partition-sum prep doubles as
+  // the decision statistic (zigzag(v) ~ 2|v|, same scale as 2x the fixed
+  // abs sums), so choosing LPC costs no extra pass over the residuals —
+  // and the fixed residual pass only runs when fixed actually wins.
   LpcModel lpc = lpc_analyze(x, n, 8);
   bool use_lpc = false;
   static thread_local std::vector<int32_t> lres;
+  static thread_local std::vector<uint32_t> zl;
+  int lpo = 0;
+  uint64_t lsums[64];
   if (lpc.ok && n > size_t(lpc.order) * 2) {
     lres.resize(n);
     lpc_residual(x, n, lpc, lres.data());
-    uint64_t s = abs_residual_sum(lres, lpc.order);
+    lpo = residual_max_po(n, lpc.order);
+    zl.resize(n - lpc.order);
+    uint64_t zsum = zigzag_partition_sums(lres.data() + lpc.order, n,
+                                          lpc.order, lpo, zl.data(), lsums);
+    uint64_t s = zsum / 2;
     // ~bits: lpc header overhead = order*(bps + precision); compare sums
     double fixed_bits = double(best_sum) / std::max<size_t>(n - best_order, 1);
     double lpc_bits = double(s) / std::max<size_t>(n - lpc.order, 1);
@@ -769,8 +819,11 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
     bw.put(uint32_t(lpc.precision - 1), 4);
     bw.put(uint32_t(lpc.shift), 5);
     for (int i = 0; i < lpc.order; ++i) bw.put_signed(lpc.qcoef[i], lpc.precision);
-    write_residual(bw, lres.data() + lpc.order, n, lpc.order);
+    write_residual_prepped(bw, zl.data(), n, lpc.order, lpo, lsums);
   } else {
+    static thread_local std::vector<int32_t> best_res;
+    best_res.resize(n);
+    fixed_residual(x, n, best_order, best_res.data());
     bw.put(0, 1);
     bw.put(0x08 | uint32_t(best_order), 6);  // FIXED
     bw.put(0, 1);
@@ -965,8 +1018,17 @@ struct Encoder {
       int32_t* lp = ch[0].data();
       int32_t* rp = ch[1].data();
       uint32_t i = 0;
+      uint64_t cl = 0, cr = 0, cm = 0, cs = 0;
+      uint32_t vec_from = 0;  // first index the fused vector sums cover
 #if defined(__AVX2__)
+      // one pass: deinterleave, mid/side, AND the order-2 |residual|
+      // sums the stereo-mode heuristic needs — lag-1/-2 vectors come
+      // from cross-lane alignr against the previous iteration, so the
+      // four separate order2_sum re-scans disappear
       const __m256i perm = _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
+      const __m256i lo32 = _mm256_set1_epi64x(0xFFFFFFFFll);
+      __m256i al = _mm256_setzero_si256(), ar = al, am = al, as_ = al;
+      __m256i pl = al, pr = al, pm = al, ps = al;
       for (; i + 8 <= bs; i += 8) {
         __m256i a = _mm256_loadu_si256((const __m256i*)(inter + 2 * i));
         __m256i b = _mm256_loadu_si256((const __m256i*)(inter + 2 * i + 8));
@@ -974,13 +1036,39 @@ struct Encoder {
         __m256i tb = _mm256_permutevar8x32_epi32(b, perm);  // l4-7 r4-7
         __m256i l = _mm256_permute2x128_si256(ta, tb, 0x20);
         __m256i r = _mm256_permute2x128_si256(ta, tb, 0x31);
+        __m256i m = _mm256_srai_epi32(_mm256_add_epi32(l, r), 1);
+        __m256i s = _mm256_sub_epi32(l, r);
         _mm256_storeu_si256((__m256i*)(lp + i), l);
         _mm256_storeu_si256((__m256i*)(rp + i), r);
-        _mm256_storeu_si256((__m256i*)(mid.data() + i),
-                            _mm256_srai_epi32(_mm256_add_epi32(l, r), 1));
-        _mm256_storeu_si256((__m256i*)(side.data() + i),
-                            _mm256_sub_epi32(l, r));
+        _mm256_storeu_si256((__m256i*)(mid.data() + i), m);
+        _mm256_storeu_si256((__m256i*)(side.data() + i), s);
+        if (i) {
+#define O2ACC(acc, cur, prev)                                              \
+  {                                                                        \
+    __m256i t = _mm256_permute2x128_si256(prev, cur, 0x21);                \
+    __m256i s1 = _mm256_alignr_epi8(cur, t, 12);                           \
+    __m256i s2 = _mm256_alignr_epi8(cur, t, 8);                            \
+    __m256i d = _mm256_abs_epi32(_mm256_sub_epi32(                         \
+        _mm256_sub_epi32(cur, s1), _mm256_sub_epi32(s1, s2)));             \
+    acc = _mm256_add_epi64(acc, _mm256_and_si256(d, lo32));                \
+    acc = _mm256_add_epi64(acc, _mm256_srli_epi64(d, 32));                 \
+  }
+          O2ACC(al, l, pl);
+          O2ACC(ar, r, pr);
+          O2ACC(am, m, pm);
+          O2ACC(as_, s, ps);
+#undef O2ACC
+        }
+        pl = l; pr = r; pm = m; ps = s;
       }
+      {
+        alignas(32) uint64_t t[4];
+        _mm256_store_si256((__m256i*)t, al); cl = t[0] + t[1] + t[2] + t[3];
+        _mm256_store_si256((__m256i*)t, ar); cr = t[0] + t[1] + t[2] + t[3];
+        _mm256_store_si256((__m256i*)t, am); cm = t[0] + t[1] + t[2] + t[3];
+        _mm256_store_si256((__m256i*)t, as_); cs = t[0] + t[1] + t[2] + t[3];
+      }
+      vec_from = (i > 8) ? 8 : 0;  // sums above cover [8, i)
 #endif
       for (; i < bs; ++i) {
         int32_t l = inter[2 * i], r = inter[2 * i + 1];
@@ -989,11 +1077,20 @@ struct Encoder {
         mid[i] = (l + r) >> 1;
         side[i] = l - r;
       }
-      // order-2 abs-sum heuristic for channel mode choice (single pass)
-      uint64_t cl = order2_sum(ch[0].data(), bs);
-      uint64_t cr = order2_sum(ch[1].data(), bs);
-      uint64_t cm = order2_sum(mid.data(), bs);
-      uint64_t cs = order2_sum(side.data(), bs);
+      // scalar head [2, vec_from) and tail [max(2, last vector end), bs)
+      auto o2_range = [&](const int32_t* x, uint32_t from, uint32_t to) {
+        uint64_t s = 0;
+        for (uint32_t j = std::max(from, 2u); j < to; ++j) {
+          int64_t d = int64_t(x[j]) - 2 * int64_t(x[j - 1]) + int64_t(x[j - 2]);
+          s += uint64_t(d < 0 ? -d : d);
+        }
+        return s;
+      };
+      uint32_t vec_to = vec_from ? (bs & ~7u) : 0;
+      cl += o2_range(lp, 0, vec_from) + o2_range(lp, vec_to, bs);
+      cr += o2_range(rp, 0, vec_from) + o2_range(rp, vec_to, bs);
+      cm += o2_range(mid.data(), 0, vec_from) + o2_range(mid.data(), vec_to, bs);
+      cs += o2_range(side.data(), 0, vec_from) + o2_range(side.data(), vec_to, bs);
       uint64_t independent = cl + cr, ls = cl + cs, rs = cr + cs, ms = cm + cs;
       uint64_t best = std::min(std::min(independent, ms), std::min(ls, rs));
       if (best == ls) assignment = 8;

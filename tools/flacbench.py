@@ -1,0 +1,84 @@
+"""Single-core throughput profile of the native FLAC encoder.
+
+Measures xRT on synthetic material spanning the encoder's decision
+space (tone = fixed predictors win, filtered noise = LPC, near-silence
+= constant/verbatim edges), at the rates the engine actually feeds it
+(SURVEY.md §2.3: the encoder must keep pace with device output).
+
+    python tools/flacbench.py [--seconds 8] [--rate 352800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def material(kind: str, n: int, rate: int, rng) -> np.ndarray:
+    t = np.arange(n) / rate
+    if kind == "tone":
+        x = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    elif kind == "music":  # pink-ish: integrated white, HF-damped
+        w = rng.standard_normal(n + 1024)
+        k = np.exp(-np.arange(256) / 48.0)
+        x = np.convolve(w, k / k.sum(), mode="same")[:n]
+        x = 0.3 * x / np.abs(x).max()
+    elif kind == "quiet":
+        x = 1e-4 * rng.standard_normal(n)
+    else:
+        raise ValueError(kind)
+    s = np.round(x * (2 ** 23 - 1)).astype(np.int32)
+    return np.stack([s, np.roll(s, 7)], axis=1)  # stereo, decorrelated a bit
+
+
+def encode(native, x: np.ndarray, rate: int, bps: int = 24,
+           block: int = 4096, feed: int = 65536) -> bytes:
+    enc = native.flac_new(rate, x.shape[1], bps, block)
+    out = []
+    for off in range(0, x.shape[0], feed):
+        native.flac_feed(enc, x[off:off + feed])
+        out.append(native.flac_drain(enc))
+    native.flac_finish(enc)
+    out.append(native.flac_drain(enc))
+    native.flac_free(enc)
+    return b"".join(out)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=8.0)
+    ap.add_argument("--rate", type=int, default=352800)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from dsd2dxd_tpu import native as nat
+
+    native = nat.lib
+    if native is None:
+        print("native lib unavailable")
+        return 1
+    rng = np.random.default_rng(0)
+    n = int(args.seconds * args.rate)
+    for kind in ("tone", "music", "quiet"):
+        x = material(kind, n, args.rate, rng)
+        payload = encode(native, x, args.rate)  # warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            encode(native, x, args.rate)
+            best = min(best, time.perf_counter() - t0)
+        raw = x.shape[0] * x.shape[1] * 3
+        print(f"  {kind:<6}: {args.seconds / best:6.1f}x RT  "
+              f"({raw / best / 1e6:6.1f} MB/s raw)  "
+              f"ratio={len(payload) / raw:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
