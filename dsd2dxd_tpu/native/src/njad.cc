@@ -50,6 +50,23 @@ int leading_digit(double v) {
   return (d >= 1 && d <= 9) ? d : 0;
 }
 
+// Integer fast path for the quantize loop (candidates are whole
+// numbers): one table-guided divide instead of a divide-per-decade loop.
+int leading_digit_ll(long long v) {
+  unsigned long long a = v < 0 ? 0ull - (unsigned long long)(v) : (unsigned long long)(v);
+  if (a == 0) return 0;
+  static const unsigned long long p10[19] = {
+      1ull, 10ull, 100ull, 1000ull, 10000ull, 100000ull, 1000000ull,
+      10000000ull, 100000000ull, 1000000000ull, 10000000000ull,
+      100000000000ull, 1000000000000ull, 10000000000000ull,
+      100000000000000ull, 1000000000000000ull, 10000000000000000ull,
+      100000000000000000ull, 1000000000000000000ull};
+  int bl = 63 - __builtin_clzll(a);
+  int g = (bl * 1233) >> 12;  // ~bl*log10(2)
+  if (g > 0 && a < p10[g]) --g;
+  return int(a / p10[g]);  // 1..9 by construction
+}
+
 // Distance of the histogram (with candidate digit d added) from Benford.
 double score(const ChannelState& st, int d) {
   double total = st.total + (d > 0 ? 1.0 : 0.0);
@@ -96,11 +113,29 @@ DSDKIT_API void dsdkit_njad_quantize(void* handle, const float* in,
       ChannelState& cs = st->ch[c < st->channels ? c : 0];
       double x = double(in[i * channels + c]) * scale;
       double lo = std::floor(x), hi = lo + 1.0;
-      int dlo = leading_digit(lo), dhi = leading_digit(hi);
+      int dlo = leading_digit_ll((long long)lo);
+      int dhi = leading_digit_ll((long long)hi);
       double pick;
       int dpick;
-      if (score(cs, dlo) <= score(cs, dhi)) { pick = lo; dpick = dlo; }
-      else { pick = hi; dpick = dhi; }
+      if (dlo > 0 && dhi > 0) {
+        // both candidates add one count, so the normalizing total is the
+        // same and the argmin survives scaling by it: compare
+        // S(d) = sum_i |c_i - b_i*(T+1) + [i==d]| — no per-digit division
+        double tp = cs.total + 1.0;
+        double e[10], s0 = 0.0;
+        for (int k = 1; k <= 9; ++k) {
+          e[k] = cs.counts[k] - kBenford[k] * tp;
+          s0 += std::fabs(e[k]);
+        }
+        double slo = s0 - std::fabs(e[dlo]) + std::fabs(e[dlo] + 1.0);
+        double shi = s0 - std::fabs(e[dhi]) + std::fabs(e[dhi] + 1.0);
+        if (slo <= shi) { pick = lo; dpick = dlo; }
+        else { pick = hi; dpick = dhi; }
+      } else if (score(cs, dlo) <= score(cs, dhi)) {
+        pick = lo; dpick = dlo;
+      } else {
+        pick = hi; dpick = dhi;
+      }
       if (dpick > 0) {
         cs.counts[dpick] += 1.0;
         cs.total += 1.0;
