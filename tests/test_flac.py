@@ -66,6 +66,19 @@ def test_roundtrip_noise_and_extremes():
     roundtrip(x, bps=24)
 
 
+def test_roundtrip_sparse_spikes_hit_rice_escape():
+    """Near-silence with rare full-scale spikes: partitions adapt k ~ 0,
+    so each spike's quotient is ~2^23 — the rice writer's chunked-unary
+    slow path and its up-front capacity bound (flac.cc write_rice) must
+    both hold. Would overflow/corrupt the stream if either regressed."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(-2, 3, size=(12000, 2), dtype=np.int32)
+    spikes = rng.integers(0, len(x), size=24)
+    x[spikes, 0] = (1 << 23) - 1
+    x[spikes[:12], 1] = -(1 << 23)
+    roundtrip(x, bps=24)
+
+
 def test_roundtrip_constant_and_silence():
     x = np.zeros((9000, 2), dtype=np.int32)
     x[4096:8192] = 1234
