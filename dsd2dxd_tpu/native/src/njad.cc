@@ -55,15 +55,20 @@ int leading_digit(double v) {
 int leading_digit_ll(long long v) {
   unsigned long long a = v < 0 ? 0ull - (unsigned long long)(v) : (unsigned long long)(v);
   if (a == 0) return 0;
-  static const unsigned long long p10[19] = {
+  static const unsigned long long p10[20] = {
       1ull, 10ull, 100ull, 1000ull, 10000ull, 100000ull, 1000000ull,
       10000000ull, 100000000ull, 1000000000ull, 10000000000ull,
       100000000000ull, 1000000000000ull, 10000000000000ull,
       100000000000000ull, 1000000000000000ull, 10000000000000000ull,
-      100000000000000000ull, 1000000000000000000ull};
+      100000000000000000ull, 1000000000000000000ull,
+      10000000000000000000ull};
   int bl = 63 - __builtin_clzll(a);
-  int g = (bl * 1233) >> 12;  // ~bl*log10(2)
-  if (g > 0 && a < p10[g]) --g;
+  // Hacker's Delight digit-count estimate: (bl+1)*log10(2) rounded UP
+  // by construction, so the correction below only ever decrements once.
+  // (The old bl*1233>>12 form underestimated: leading_digit_ll(10) was
+  // 10, indexing counts[10..19] out of bounds.)
+  int g = ((bl + 1) * 1233) >> 12;
+  if (a < p10[g]) --g;
   return int(a / p10[g]);  // 1..9 by construction
 }
 

@@ -2,6 +2,8 @@
 decoder oracle, plus the engine/CLI FLAC paths (SURVEY.md §4.3e: golden
 re-parse of every written container, FLAC MD5)."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -203,6 +205,100 @@ def test_njad_quantizer_basic():
     got2 = native.njad_quantize(st2, x, 24)
     native.njad_free(st2)
     np.testing.assert_array_equal(got, got2)
+
+
+_TIE_EPS = 1e-9  # FMA-vs-plain double divergence is a few ulps of O(1)
+
+
+def _njad_oracle(x: np.ndarray, bits: int,
+                 arbiter: np.ndarray | None = None) -> np.ndarray:
+    """Pure-Python mirror of native/src/njad.cc with leading digits
+    computed by a plain divide loop — an independent oracle for the
+    table-guided integer fast path (a round-3 bug made
+    leading_digit_ll(10..15, 100..127, ...) return 10..19, silently
+    indexing the histogram out of bounds; this test pins against that
+    class of regression). Same Benford constants, same scaled-score
+    comparison, same decay. The native build compiles the score terms
+    with FMA contraction (-O3 -march=native), so scores can differ from
+    pure doubles by a few ulps: where |slo - shi| < _TIE_EPS the
+    decision is a coin-flip between roundings and the oracle defers to
+    `arbiter` (the native output) to keep state in lockstep; clear
+    decisions must match exactly."""
+    kb = [0.0, 0.301029995663981, 0.176091259055681, 0.124938736608300,
+          0.096910013008056, 0.079181246047625, 0.066946789630613,
+          0.057991946977687, 0.051152522447381, 0.045757490560675]
+    frames, channels = x.shape
+    counts = [[0.0] * 10 for _ in range(channels)]
+    totals = [0.0] * channels
+    lim = 1 << (bits - 1)
+    scale = float(lim)
+
+    def digit(v: float) -> int:
+        a = abs(int(v))
+        if a == 0:
+            return 0
+        while a >= 10:
+            a //= 10
+        return a
+
+    def score(c: int, d: int) -> float:
+        total = totals[c] + (1.0 if d > 0 else 0.0)
+        if total <= 0.0:
+            return 0.0
+        return sum(abs((counts[c][i] + (1.0 if i == d else 0.0)) / total
+                       - kb[i]) for i in range(1, 10))
+
+    out = np.empty((frames, channels), dtype=np.int32)
+    for i in range(frames):
+        for c in range(channels):
+            xs = float(x[i, c]) * scale
+            lo = math.floor(xs)
+            hi = lo + 1.0
+            dlo, dhi = digit(lo), digit(hi)
+            if dlo > 0 and dhi > 0:
+                tp = totals[c] + 1.0
+                e = [counts[c][k] - kb[k] * tp for k in range(10)]
+                s0 = sum(abs(e[k]) for k in range(1, 10))
+                slo = s0 - abs(e[dlo]) + abs(e[dlo] + 1.0)
+                shi = s0 - abs(e[dhi]) + abs(e[dhi] + 1.0)
+            else:
+                slo, shi = score(c, dlo), score(c, dhi)
+            if (arbiter is not None and abs(slo - shi) < _TIE_EPS
+                    and arbiter[i, c] in (lo, hi)):
+                take_lo = arbiter[i, c] == lo
+            else:
+                take_lo = slo <= shi
+            pick, dpick = (lo, dlo) if take_lo else (hi, dhi)
+            if dpick > 0:
+                counts[c][dpick] += 1.0
+                totals[c] += 1.0
+                if totals[c] > 1024.0:
+                    for k in range(1, 10):
+                        counts[c][k] *= 0.5
+                    totals[c] *= 0.5
+            out[i, c] = min(max(int(round(pick)), -lim), lim - 1)
+    return out
+
+
+def test_njad_matches_python_oracle():
+    rng = np.random.default_rng(7)
+    n = 4000
+    # mix of quiet (small ints, exercising the 10..19/100..127 digit
+    # ranges) and loud material, plus exact-integer landings
+    x = np.concatenate([
+        1e-3 * rng.standard_normal(n // 2),
+        0.9 * np.sin(2 * np.pi * np.arange(n // 2) / 33.7),
+    ]).astype(np.float32)
+    x = np.stack([x, np.roll(x, 13)], axis=1)
+    st = native.njad_new(2)
+    got = native.njad_quantize(st, x, 24)
+    native.njad_free(st)
+    np.testing.assert_array_equal(got, _njad_oracle(x, 24, arbiter=got))
+    # 16-bit hits the small-candidate ranges even harder
+    st = native.njad_new(2)
+    got16 = native.njad_quantize(st, x, 16)
+    native.njad_free(st)
+    np.testing.assert_array_equal(got16, _njad_oracle(x, 16, arbiter=got16))
 
 
 def test_njad_rejects_over_16_channels():
