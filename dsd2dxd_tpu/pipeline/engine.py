@@ -428,9 +428,21 @@ class Converter:
             from concurrent.futures import ThreadPoolExecutor
 
             peak_box = [0.0]
+            drain_err: list = []
 
             def do_drain(pending):
-                peak_box[0] = self._drain(pending, sink, peak_box[0])
+                # A failed write (disk full, sink error) must stop the
+                # LATER queued drains too: they run on the same worker
+                # after the failure and would append frames past the
+                # gap, turning a clean truncation into a file with a
+                # hole. First popleft().result() re-raises the original.
+                if drain_err:
+                    return
+                try:
+                    peak_box[0] = self._drain(pending, sink, peak_box[0])
+                except BaseException as e:
+                    drain_err.append(e)
+                    raise
 
             drains: collections.deque = collections.deque()
             pool = ThreadPoolExecutor(max_workers=1)
@@ -535,8 +547,18 @@ class Converter:
     def _drain(self, pending, sink, peak: float) -> float:
         out, tile_peak, n_valid = pending
         tile_peak = float(tile_peak)
-        # Peak over padded tail is harmless: padding is the DSD idle
-        # pattern (silence), which cannot raise the max.
+        # The kernel's tile peak covers every emitted frame of the FIXED
+        # tile shape — in a partial final tile that includes frames past
+        # n_valid, where the signal->idle-pad filter transient can ring
+        # above the true stream peak (the sharded path masks these via
+        # finish_tile's n_valid). Only check_level consumes the peak and
+        # it runs the float frames-major path, so recompute the
+        # valid-prefix max exactly on host there; one extra D2H on the
+        # final tile of a file, full tiles keep the free kernel peak.
+        if (self._plane_layout is None and self._packed is None
+                and n_valid < np.shape(out)[0]):
+            tile_peak = (float(np.abs(np.asarray(out)[:n_valid]).max())
+                         if n_valid > 0 else 0.0)
         peak = max(peak, tile_peak)
         # Device ops below always see the FULL fixed tile shape and the
         # valid prefix is sliced on host: slicing on device would trace

@@ -112,6 +112,41 @@ def test_check_level(tone_dsf):
     assert -6.5 < db < -4.0
 
 
+def test_check_level_partial_tile_ignores_pad_ringing(tmp_path):
+    """A stream whose signal runs right up to EOF is idle-padded inside
+    the final (partial) tile; the signal->pad splice transient rings
+    ABOVE the true stream peak (measured: 0.688 vs 0.651 here, +0.48 dB)
+    but lies entirely past n_valid. check_level must report the peak of
+    the emitted frames only — the kernel's full-tile peak counted the
+    ringing (round-3 review finding), and the sharded path already
+    masked it, so the two modes disagreed."""
+    from dsd2dxd_tpu.ops.dsm import bits_to_bytes_msb, dsm2_bits
+
+    n = 4096 * 9 * 8  # bits; exactly 9 raw blocks, so EOF == signal end
+    # half-cosine ramp 0 -> 0.65: no overshoot inside the valid region,
+    # maximum discontinuity at the splice
+    ramp = 0.65 * 0.5 * (1 - np.cos(np.pi * np.arange(n) / n))
+    raw = tmp_path / "ramp.dsd"
+    raw.write_bytes(bits_to_bytes_msb(dsm2_bits(ramp)).tobytes())
+
+    peaks = []
+    conv_f = Converter.new(
+        bit_depth=32, output=OutputType.STDOUT, level_db=0.0,
+        output_rate=88200, out_dir=None, dither=DitherType.NONE,
+        fmt=FmtType.PLANAR, endian=Endianness.MSB_FIRST,
+        input_rate=DsdRate.DSD64, block_size=4096, channels=1,
+        filt=FilterType.EQUIRIPPLE, append_rate=False, base_dir=tmp_path,
+        input_path=raw)
+    conv_f._run(None, None, lambda t: peaks.append(np.abs(t).max()))
+
+    conv = Converter.new_level_check(
+        output_rate=88200, input_path=raw, fmt=FmtType.PLANAR,
+        endian=Endianness.MSB_FIRST, channels=1, block_size=4096,
+        input_rate=DsdRate.DSD64)
+    db = conv.check_level()
+    assert abs(db - 20 * np.log10(max(peaks))) < 1e-4
+
+
 def test_raw_file_roundtrip(tone_dsf, tmp_path):
     """A raw .dsd bitstream (planar, LSB-first — matching the 1kHz_mono_p
     fixture layout, SURVEY.md §4.2) through Converter.new."""
@@ -205,6 +240,28 @@ def test_non_byte_aligned_sample_count_trims(tone_dsf, tmp_path):
         out_frames[name] = len(data) // (3 * 2)
     assert out_frames["orig"] == int(orig_bits / 8)
     assert out_frames["trim"] == int(cut_bits / 8)
+
+
+def test_drain_failure_stops_subsequent_writes(tone_dsf):
+    """When a queued drain fails (disk full mid-stream), drains already
+    queued behind it must NOT write: they would append frames after the
+    failure point, turning a clean truncation into a file with a hole
+    (round-3 review finding on the triple-overlap pipeline)."""
+    calls = []
+
+    def sink(t):
+        calls.append(len(t))
+        raise OSError("disk full")
+
+    conv = Converter.from_container(
+        bit_depth=32, output=OutputType.STDOUT, level_db=0.0,
+        output_rate=88200, out_dir=None, dither=DitherType.NONE,
+        filt=FilterType.EQUIRIPPLE, append_rate=False,
+        base_dir=tone_dsf.parent, input_path=tone_dsf)
+    conv.tile_target_bytes = 4096  # many tiles -> drains queue up
+    with pytest.raises(OSError):
+        conv._run(None, None, sink)
+    assert len(calls) == 1  # nothing written past the failed tile
 
 
 def test_cancel(tone_dsf, tmp_path):
