@@ -390,15 +390,16 @@ def test_kernel_covers_predicate():
     assert not kernel_covers(plain, 24, DitherType.NJAD)
 
 
-@pytest.mark.parametrize("rate,out_hz,depth,shift,big_endian", [
-    (DsdRate.DSD64, 352800, 24, 0, False),   # flagship, batch=4
-    (DsdRate.DSD64, 352800, 24, 0, True),    # AIFF byte order
-    (DsdRate.DSD256, 88200, 24, 0, False),   # G=16 word rows
-    (DsdRate.DSD64, 352800, 16, 0, False),   # int16 single-plane
-    (DsdRate.DSD64, 176400, 20, 4, False),   # 20-in-24 kernel shift
+@pytest.mark.parametrize("rate,out_hz,depth,shift,big_endian,groups", [
+    (DsdRate.DSD64, 352800, 24, 0, False, None),   # flagship, batch=4
+    (DsdRate.DSD64, 352800, 24, 0, True, None),    # AIFF byte order
+    (DsdRate.DSD256, 88200, 24, 0, False, None),   # a-trous tail extract
+    (DsdRate.DSD256, 88200, 24, 0, False, 16),     # G=16 word rows opt-in
+    (DsdRate.DSD64, 352800, 16, 0, False, None),   # int16 single-plane
+    (DsdRate.DSD64, 176400, 20, 4, False, None),   # 20-in-24 kernel shift
 ])
 def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
-                                             big_endian):
+                                             big_endian, groups):
     """emit="planes" must produce byte-identical wire data to the frames
     path + host packers, through both the numpy and native interleavers
     (VERDICT r2 item 1: in-kernel byte-plane PCM output)."""
@@ -408,19 +409,19 @@ def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
     )
 
     chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
-    g = fused_plan(chain)[1]
+    g = groups if groups is not None else fused_plan(chain)[1]
     tile = 16384 * 2
     cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=depth,
                      dither=DitherType.NONE, level_db=0.0)
-    fstep, _h = make_fused_step(chain, cfg, interpret=True)
+    fstep, _h = make_fused_step(chain, cfg, interpret=True, groups=groups)
     pstep, _h2, layout = make_fused_step(chain, cfg, interpret=True,
-                                         emit="planes", out_shift=shift)
+                                         emit="planes", out_shift=shift,
+                                         groups=groups)
     rng = np.random.default_rng(5)
     x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
-    of, pkf, _ = fstep(prep_input(x, g),
-                       jnp.asarray(init_fused_halo(chain, 2)), 0)
-    op, pkp, _ = pstep(prep_input(x, g),
-                       jnp.asarray(init_fused_halo(chain, 2)), 0)
+    halo = jnp.asarray(init_fused_halo(chain, 2, groups=groups))
+    of, pkf, _ = fstep(prep_input(x, g), halo, 0)
+    op, pkp, _ = pstep(prep_input(x, g), halo, 0)
     of, opn = np.asarray(of), np.asarray(op)
     assert float(pkf) == float(pkp)
     n = of.shape[0]

@@ -282,7 +282,12 @@ def main() -> int:
         for rate_name, out_hz in cells:
             rate = DsdRate[rate_name]
             chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
-            big = _tile_bytes_for(chain, 16 * 1024 * 1024)
+            # rate.hz keys pick_block_bytes: without it the tile aligns
+            # to the 16 KiB default and is NOT divisible by the hz-keyed
+            # 64 KiB grid block, so _cached_step would silently fall
+            # back to the XLA phase path (e.g. DSD256->384000) and the
+            # table would benchmark the wrong path.
+            big = _tile_bytes_for(chain, 16 * 1024 * 1024, rate.hz)
             cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
                              dither=DitherType.TPDF, level_db=0.0)
             step, make_state, prep, _layout = _cached_step(
