@@ -97,7 +97,7 @@ class NativeLib:
         d.dsdkit_njad_quantize.argtypes = [
             ctypes.c_void_p, f32p, i32p, ctypes.c_size_t,
             ctypes.c_uint32, ctypes.c_int]
-        d.dsdkit_njad_quantize.restype = None
+        d.dsdkit_njad_quantize.restype = ctypes.c_int
         d.dsdkit_njad_free.argtypes = [ctypes.c_void_p]
         d.dsdkit_njad_free.restype = None
 
@@ -111,7 +111,15 @@ class NativeLib:
 
     def flac_new(self, rate: int, channels: int, bps: int,
                  block_size: int = 4096) -> int:
-        return self._dll.dsdkit_flac_new(rate, channels, bps, block_size)
+        enc = self._dll.dsdkit_flac_new(rate, channels, bps, block_size)
+        if not enc:
+            from dsd2dxd_tpu.utils.errors import ConfigError
+
+            raise ConfigError(
+                f"FLAC encoder rejects rate={rate} channels={channels} "
+                f"bps={bps} block_size={block_size} (bps 4-24, <=8 "
+                f"channels, block 16-32768)")
+        return enc
 
     def flac_feed(self, enc: int, samples: np.ndarray) -> None:
         """samples: (frames, channels) int32, interleaved in memory."""
@@ -195,8 +203,15 @@ class NativeLib:
         samples = np.ascontiguousarray(samples, dtype=np.float32)
         frames, channels = samples.shape
         out = np.empty((frames, channels), dtype=np.int32)
-        self._dll.dsdkit_njad_quantize(state, samples, out, frames,
-                                       channels, bits)
+        rc = self._dll.dsdkit_njad_quantize(state, samples, out, frames,
+                                             channels, bits)
+        if rc != 0:
+            from dsd2dxd_tpu.utils.errors import ConfigError
+
+            raise ConfigError(
+                f"NJAD quantize: {channels} channels / {bits} bits does "
+                "not match the handle (per-channel Benford state must "
+                "not alias)")
         return out
 
     def njad_free(self, state: int) -> None:

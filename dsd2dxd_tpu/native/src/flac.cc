@@ -6,7 +6,9 @@
 //   - fixed predictors (orders 0-4) and LPC (Levinson-Durbin, up to
 //     order 8, Tukey window) with cost-based selection,
 //   - per-block stereo decorrelation choice (LR / LS / RS / MS),
-//   - Rice coding with partition-order search and escape codes,
+//   - Rice coding with partition-order search (4- and 5-bit parameter
+//     methods; no spec escape codes — incompressible blocks fall back
+//     to VERBATIM subframes instead),
 //   - CONSTANT / VERBATIM subframes,
 //   - streaming MD5 of the raw samples for STREAMINFO,
 //   - frame CRC-8 / CRC-16.
@@ -15,9 +17,13 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 #if defined(__AVX2__)
@@ -86,11 +92,6 @@ class BitWriter {
   }
 
   inline void put_signed(int32_t value, int bits) { put(uint32_t(value), bits); }
-
-  inline void put_unary(uint32_t q) {
-    while (q >= 24) { put(0, 24); q -= 24; }
-    put(1, int(q) + 1);
-  }
 
   void align_byte() {
     flush_bytes();
@@ -407,16 +408,18 @@ uint64_t zigzag_partition_sums(const int32_t* res, size_t block_size,
   return total;
 }
 
-void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
-                            size_t block_size, int pred_order, int max_po,
-                            const uint64_t sums[64]) {
+// Build the partition-sum pyramid into `lvl` (level po at offset
+// (1<<po)-1; max_po <= 6 -> 127 slots) and pick the partition order with
+// the lowest estimated cost. Returned bits include the 2+4 method/order
+// header and the per-partition parameter fields — 5 bits each when any
+// partition of that order needs k > 14 (the RICE2 method applies to the
+// WHOLE residual, so one hot partition re-prices every other one; costing
+// them all at 4 under-penalized fine orders on high-entropy material).
+struct ResChoice { int po; uint64_t bits; };
+
+ResChoice residual_choose(size_t block_size, int pred_order, int max_po,
+                          const uint64_t sums[64], uint64_t lvl[127]) {
   uint32_t parts_max = 1u << max_po;
-  // pick the partition order with the lowest estimated cost; all levels
-  // pack into one flat scratch (level po at offset (1<<po)-1, max_po <= 6
-  // -> 127 slots), so the search allocates nothing per call
-  int best_po = max_po;
-  uint64_t best_cost = ~0ull;
-  uint64_t lvl[127];
   auto level_at = [&](int po) { return lvl + ((1u << po) - 1); };
   memcpy(level_at(max_po), sums, parts_max * sizeof(uint64_t));
   for (int po = max_po - 1; po >= 0; --po) {
@@ -425,17 +428,38 @@ void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
     for (size_t p = 0; p < (1u << po); ++p)
       dst[p] = src[2 * p] + src[2 * p + 1];
   }
+  ResChoice best{max_po, ~0ull};
   for (int po = 0; po <= max_po; ++po) {
-    uint64_t cost = 0;
+    uint64_t cost = 2 + 4;
     uint32_t parts = 1u << po;
     size_t cnt = block_size / parts;
     const uint64_t* lv = level_at(po);
+    bool five_bit = false;
     for (uint32_t p = 0; p < parts; ++p) {
       uint64_t c = cnt - (p == 0 ? pred_order : 0);
-      cost += est_cost(lv[p], c, param_for_sum(lv[p], c)) + 4;
+      int k = param_for_sum(lv[p], c);
+      five_bit |= (k > 14);
+      cost += est_cost(lv[p], c, k) + 4;
     }
-    if (cost < best_cost) { best_cost = cost; best_po = po; }
+    if (five_bit) cost += parts;
+    if (cost < best.bits) best = {po, cost};
   }
+  return best;
+}
+
+uint64_t residual_cost_bits(size_t block_size, int pred_order, int max_po,
+                            const uint64_t sums[64]) {
+  uint64_t lvl[127];
+  return residual_choose(block_size, pred_order, max_po, sums, lvl).bits;
+}
+
+void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
+                            size_t block_size, int pred_order, int max_po,
+                            const uint64_t sums[64]) {
+  uint64_t lvl[127];
+  auto level_at = [&](int po) { return lvl + ((1u << po) - 1); };
+  int best_po = residual_choose(block_size, pred_order, max_po, sums,
+                                lvl).po;
   uint32_t parts = 1u << best_po;
   size_t cnt_full = block_size / parts;
   const uint64_t* best_lv = level_at(best_po);
@@ -457,16 +481,6 @@ void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
     write_rice(bw, zp + idx, cnt, params[p], best_lv[p]);
     idx += cnt;
   }
-}
-
-void write_residual(BitWriter& bw, const int32_t* res, size_t block_size,
-                    int pred_order) {
-  int max_po = residual_max_po(block_size, pred_order);
-  static thread_local std::vector<uint32_t> z;
-  z.resize(block_size - pred_order);
-  uint64_t sums[64];
-  zigzag_partition_sums(res, block_size, pred_order, max_po, z.data(), sums);
-  write_residual_prepped(bw, z.data(), block_size, pred_order, max_po, sums);
 }
 
 // ---------------------------------------------------------------------------
@@ -811,7 +825,36 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
     double overhead = double(lpc.order) * (bps + lpc.precision) / double(n);
     use_lpc = (log2(lpc_bits + 1) + overhead + 0.05) < log2(fixed_bits + 1);
   }
-  if (use_lpc) {
+  // VERBATIM fallback: rice-coded residuals have no size cap (param_for_sum
+  // caps k at 30, so incompressible noise costs up to ~k+1 > bps bits per
+  // sample); when the chosen predictor's estimated subframe exceeds raw
+  // samples, emit them raw. Estimated vs written: est_cost upper-bounds the
+  // quotient bits, so the comparison never picks an oversized rice encoding.
+  const uint64_t verbatim_bits = 8 + uint64_t(n) * bps;
+  static thread_local std::vector<int32_t> best_res;
+  static thread_local std::vector<uint32_t> zf;
+  int fpo = 0;
+  uint64_t fsums[64];
+  if (!use_lpc) {
+    best_res.resize(n);
+    fixed_residual(x, n, best_order, best_res.data());
+    fpo = residual_max_po(n, best_order);
+    zf.resize(n - best_order);
+    zigzag_partition_sums(best_res.data() + best_order, n, best_order, fpo,
+                          zf.data(), fsums);
+  }
+  uint64_t coded_bits =
+      use_lpc ? 8 + uint64_t(lpc.order) * bps + 4 + 5 +
+                    uint64_t(lpc.order) * lpc.precision +
+                    residual_cost_bits(n, lpc.order, lpo, lsums)
+              : 8 + uint64_t(best_order) * bps +
+                    residual_cost_bits(n, best_order, fpo, fsums);
+  if (coded_bits >= verbatim_bits) {
+    bw.put(0, 1);
+    bw.put(1, 6);  // VERBATIM
+    bw.put(0, 1);
+    for (size_t i = 0; i < n; ++i) bw.put_signed(x[i], bps);
+  } else if (use_lpc) {
     bw.put(0, 1);
     bw.put(0x20 | uint32_t(lpc.order - 1), 6);  // LPC
     bw.put(0, 1);
@@ -821,14 +864,11 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps) {
     for (int i = 0; i < lpc.order; ++i) bw.put_signed(lpc.qcoef[i], lpc.precision);
     write_residual_prepped(bw, zl.data(), n, lpc.order, lpo, lsums);
   } else {
-    static thread_local std::vector<int32_t> best_res;
-    best_res.resize(n);
-    fixed_residual(x, n, best_order, best_res.data());
     bw.put(0, 1);
     bw.put(0x08 | uint32_t(best_order), 6);  // FIXED
     bw.put(0, 1);
     for (int i = 0; i < best_order; ++i) bw.put_signed(x[i], bps);
-    write_residual(bw, best_res.data() + best_order, n, best_order);
+    write_residual_prepped(bw, zf.data(), n, best_order, fpo, fsums);
   }
 }
 
@@ -876,6 +916,81 @@ int sample_size_code(int bps) {
   }
 }
 
+// Persistent worker pool for feed()'s block fan-out. feed() runs
+// hundreds of times per file; fresh std::threads per call would pay
+// create/join latency AND recompute every worker's thread_local scratch
+// (Tukey window, LPC/rice buffers) each time. Workers park on a
+// condition variable between jobs, so their thread_locals live for the
+// whole encode. The job itself still distributes blocks via the
+// caller's atomic cursor, so an over-sized pool just finds the cursor
+// exhausted and parks again.
+class Pool {
+ public:
+  explicit Pool(unsigned workers) {
+    for (unsigned t = 0; t < workers; ++t)
+      threads.emplace_back([this] { run(); });
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> l(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : threads) t.join();
+  }
+  // hand `j` to every worker; the caller should run j() itself too,
+  // then wait() before touching anything j captured by reference
+  void launch(std::function<void()> j) {
+    {
+      std::lock_guard<std::mutex> l(mu);
+      job = std::move(j);
+      ++gen;
+      pending = threads.size();
+    }
+    cv_work.notify_all();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> l(mu);
+    cv_done.wait(l, [this] { return pending == 0; });
+    job = nullptr;
+  }
+
+ private:
+  void run() {
+    uint64_t seen = 0;
+    std::unique_lock<std::mutex> l(mu);
+    for (;;) {
+      cv_work.wait(l, [&] { return stop || gen != seen; });
+      if (stop) return;
+      seen = gen;
+      std::function<void()> j = job;
+      l.unlock();
+      j();
+      l.lock();
+      if (--pending == 0) cv_done.notify_all();
+    }
+  }
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::function<void()> job;
+  uint64_t gen = 0;
+  size_t pending = 0;
+  bool stop = false;
+};
+
+// Encode threads (main + workers): DSDKIT_FLAC_THREADS if set (lets a
+// 1-core CI box exercise the pool path deterministically), else the
+// hardware count.
+unsigned flac_threads() {
+  if (const char* e = getenv("DSDKIT_FLAC_THREADS")) {
+    long v = strtol(e, nullptr, 10);
+    if (v >= 1 && v <= 64) return unsigned(v);
+  }
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? n : 4;
+}
+
 struct Encoder {
   uint32_t rate, channels, bps, block_size;
   uint64_t frame_index = 0;
@@ -884,6 +999,8 @@ struct Encoder {
   MD5 md5;
   std::vector<int32_t> pend;  // interleaved pending samples
   std::vector<uint8_t> out;
+  unsigned n_threads;               // main + workers (flac_threads())
+  std::unique_ptr<Pool> pool;       // created on first multi-block feed
 
   // MD5 over raw little-endian samples, ceil(bps/8) bytes each; packed
   // into a reused staging buffer with a specialized 24-bit loop (the
@@ -946,9 +1063,6 @@ struct Encoder {
     // Rayon pool at the file level, we add it inside the encoder too)
     size_t n_blocks = left / block_size;
     if (n_blocks >= 2) {
-      unsigned n_threads = std::thread::hardware_concurrency();
-      if (n_threads == 0) n_threads = 4;
-      n_threads = std::min<size_t>(n_threads, n_blocks);
       std::vector<std::vector<uint8_t>> results(n_blocks);
       std::atomic<size_t> next{0};
       // block frames are numbered after the completed pend frame, which
@@ -961,8 +1075,11 @@ struct Encoder {
           results[b] = encode_frame(p + b * bs_vals, block_size, base + b);
         }
       };
-      std::vector<std::thread> threads;
-      for (unsigned t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+      bool fan_out = n_threads > 1;
+      if (fan_out) {
+        if (!pool) pool.reset(new Pool(n_threads - 1));
+        pool->launch(worker);
+      }
       if (pend_ready) {
         emit(encode_frame(pend.data(), block_size, frame_index));
         pend.clear();
@@ -971,7 +1088,7 @@ struct Encoder {
       // this thread while the workers encode, instead of before them
       md5_update_samples(samples, n_frames);
       worker();
-      for (auto& t : threads) t.join();
+      if (fan_out) pool->wait();
       for (auto& r : results) emit(std::move(r));
       p += n_blocks * bs_vals;
       left -= n_blocks * block_size;
@@ -1191,11 +1308,22 @@ struct Encoder {
 
 DSDKIT_API void* dsdkit_flac_new(uint32_t rate, uint32_t channels,
                                  uint32_t bps, uint32_t block_size) {
+  // Validate at the ABI boundary (like njad_new), not just in the
+  // Python FlacWriter: bps > 24 would overflow int32 in the side
+  // channel (l - r is UB at 32-bit full scale) and exceed BitWriter's
+  // 32-bit put for the bps+1-bit side subframe; bps < 4 / channels > 8
+  // / block_size outside 16..32768 are outside both the spec and the
+  // encoder's assumptions. nullptr maps to ConfigError in the loader.
+  if (rate == 0 || channels == 0 || channels > 8 || bps < 4 || bps > 24)
+    return nullptr;
+  if (block_size == 0) block_size = 4096;
+  if (block_size < 16 || block_size > 32768) return nullptr;
   auto* e = new Encoder();
   e->rate = rate;
   e->channels = channels;
   e->bps = bps;
-  e->block_size = block_size ? block_size : 4096;
+  e->block_size = block_size;
+  e->n_threads = flac_threads();
   return e;
 }
 

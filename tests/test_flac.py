@@ -65,7 +65,48 @@ def test_roundtrip_noise_and_extremes():
     x = rng.integers(-lim, lim, size=(10000, 2), dtype=np.int32)
     x[:10, 0] = lim - 1
     x[:10, 1] = -lim
-    roundtrip(x, bps=24)
+    _st, blob = roundtrip(x, bps=24)
+    # incompressible noise must fall back to VERBATIM subframes: rice
+    # coding has no size cap (k<=30 -> up to ~31 bits/sample), so the
+    # stream must stay within raw size + container overhead
+    assert len(blob) < x.nbytes * 1.02, len(blob) / x.nbytes
+
+
+def test_threaded_encode_byte_identical(monkeypatch):
+    """The persistent worker pool (DSDKIT_FLAC_THREADS override makes it
+    exercisable on a 1-core box) must produce byte-identical output to
+    the single-threaded encode — block fan-out only changes scheduling,
+    never the stream."""
+    import os
+
+    x = _tone(40000, 2, 6000, 16, seed=3)
+    ref = encode(x)
+    monkeypatch.setitem(os.environ, "DSDKIT_FLAC_THREADS", "4")
+    got = encode(x)
+    assert got == ref
+
+
+def test_flac_new_rejects_out_of_contract_params():
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    for bad in [(88200, 2, 32, 4096),   # bps>24: int32 side-channel UB
+                (88200, 2, 2, 4096),    # bps<4: below spec
+                (88200, 9, 16, 4096),   # >8 channels
+                (88200, 0, 16, 4096),
+                (0, 2, 16, 4096),
+                (88200, 2, 16, 8)]:     # block_size below spec floor
+        with pytest.raises(ConfigError):
+            native.flac_new(*bad)
+
+
+def test_njad_quantize_rejects_channel_mismatch():
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    st = native.njad_new(2)
+    x = np.zeros((16, 3), dtype=np.float32)  # 3 columns vs 2-ch handle
+    with pytest.raises(ConfigError):
+        native.njad_quantize(st, x, 24)
+    native.njad_free(st)
 
 
 def test_roundtrip_sparse_spikes_hit_rice_escape():
