@@ -41,15 +41,6 @@ struct NjadState {
   ChannelState ch[16];
 };
 
-int leading_digit(double v) {
-  v = std::fabs(v);
-  if (v < 1e-7) return 0;
-  while (v >= 10.0) v /= 10.0;
-  while (v < 1.0) v *= 10.0;
-  int d = int(v);
-  return (d >= 1 && d <= 9) ? d : 0;
-}
-
 // Integer fast path for the quantize loop (candidates are whole
 // numbers): one table-guided divide instead of a divide-per-decade loop.
 int leading_digit_ll(long long v) {
@@ -108,14 +99,18 @@ DSDKIT_API void* dsdkit_njad_new(uint32_t channels) {
 }
 
 // in: (frames x channels) float32 full-scale ±1; out: int32 at `bits`.
-DSDKIT_API void dsdkit_njad_quantize(void* handle, const float* in,
-                                     int32_t* out, size_t frames,
-                                     uint32_t channels, int bits) {
+// Returns 0, or -1 when `channels` does not match the handle (aliasing
+// extra channels onto ch[0] would couple their dither feedback — the
+// exact failure njad_new's reject-don't-clamp contract exists to stop).
+DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
+                                    int32_t* out, size_t frames,
+                                    uint32_t channels, int bits) {
   auto* st = static_cast<NjadState*>(handle);
+  if (channels != st->channels || bits < 2 || bits > 32) return -1;
   double scale = double(1ll << (bits - 1));
   for (size_t i = 0; i < frames; ++i) {
     for (uint32_t c = 0; c < channels; ++c) {
-      ChannelState& cs = st->ch[c < st->channels ? c : 0];
+      ChannelState& cs = st->ch[c];
       double x = double(in[i * channels + c]) * scale;
       double lo = std::floor(x), hi = lo + 1.0;
       int dlo = leading_digit_ll((long long)lo);
@@ -152,6 +147,7 @@ DSDKIT_API void dsdkit_njad_quantize(void* handle, const float* in,
       out[i * channels + c] = clip((long long)std::llround(pick), bits);
     }
   }
+  return 0;
 }
 
 DSDKIT_API void dsdkit_njad_free(void* handle) {

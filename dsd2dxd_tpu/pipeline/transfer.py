@@ -90,25 +90,31 @@ def interleave_planes(planes: np.ndarray, layout, n_frames: int,
     return interleave_planes_numpy(planes, layout, n_frames, big_endian)
 
 
+def _deblock(a: np.ndarray, layout, n_frames: int) -> np.ndarray:
+    """Undo the kernel's blocked (rows, cols) layout -> (frames, C, ...)
+    frame order (see ops/fused.PlaneLayout). The ONE copy of the layout
+    addressing both numpy fallbacks share — they are the test oracles
+    for the native interleaver/deplaner, so a layout change must not be
+    able to update one while missing the other. Trailing axes of `a`
+    (e.g. the byte-plane axis) ride along untouched."""
+    c, b, sub = layout.channels, layout.batch, layout.sub_cols
+    if b > 1:
+        perm = (2, 0, 3, 1) + tuple(range(4, a.ndim + 2))
+        a = (a.reshape((b, c, -1, sub) + a.shape[2:]).transpose(perm)
+             .reshape((-1, c) + a.shape[2:]))
+    else:
+        perm = (1, 0) + tuple(range(2, a.ndim))
+        a = a[:c].transpose(perm)
+    return a[:n_frames]
+
+
 def interleave_planes_numpy(planes: np.ndarray, layout, n_frames: int,
                             big_endian: bool = False) -> bytes:
-    c, b, sub = layout.channels, layout.batch, layout.sub_cols
     if planes.ndim == 2:  # int16
-        a = planes
-        if b > 1:
-            a = (a.reshape(b, c, -1, sub).transpose(2, 0, 3, 1)
-                 .reshape(-1, c))
-        else:
-            a = a[:c].T
-        a = a[:n_frames]
+        a = _deblock(planes, layout, n_frames)
         return (a.byteswap() if big_endian else a).tobytes()
-    a = planes  # (3, rows, cols)
-    if b > 1:
-        a = (a.reshape(3, b, c, -1, sub).transpose(3, 1, 4, 2, 0)
-             .reshape(-1, c, 3))
-    else:
-        a = a[:, :c, :].transpose(2, 1, 0)
-    a = a[:n_frames]
+    # (3, rows, cols) -> (rows, cols, 3) so the plane axis rides along
+    a = _deblock(planes.transpose(1, 2, 0), layout, n_frames)
     if big_endian:
         a = a[:, :, ::-1]
     return np.ascontiguousarray(a).tobytes()
@@ -128,23 +134,12 @@ def deplane_frames(planes: np.ndarray, layout, n_frames: int) -> np.ndarray:
 
 def deplane_frames_numpy(planes: np.ndarray, layout,
                          n_frames: int) -> np.ndarray:
-    c, b, sub = layout.channels, layout.batch, layout.sub_cols
     if planes.ndim == 2:  # int16
-        a = planes
-        if b > 1:
-            a = (a.reshape(b, c, -1, sub).transpose(2, 0, 3, 1)
-                 .reshape(-1, c))
-        else:
-            a = a[:c].T
-        return a[:n_frames].astype(np.int32)
+        return _deblock(planes, layout, n_frames).astype(np.int32)
     a = planes.astype(np.int64)
     v = a[0] | (a[1] << 8) | (a[2] << 16)
     v = np.where(v >= 1 << 23, v - (1 << 24), v)
-    if b > 1:
-        v = v.reshape(b, c, -1, sub).transpose(2, 0, 3, 1).reshape(-1, c)
-    else:
-        v = v[:c].T
-    return v[:n_frames].astype(np.int32)
+    return _deblock(v, layout, n_frames).astype(np.int32)
 
 
 def unpack16_host(v: np.ndarray, big_endian: bool = False) -> bytes:
