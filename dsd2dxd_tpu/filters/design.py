@@ -36,6 +36,7 @@ All design happens in float64; results are cached on disk under
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 from fractions import Fraction
 from functools import lru_cache
@@ -87,6 +88,11 @@ def _estimate_taps(delta_f: float, att_db: float, ripple_db: float = 1e-3) -> in
     return max(n, 8)
 
 
+class FilterDesignError(RuntimeError):
+    """A bank/stage spec could not be met by the growth loop — raised
+    instead of caching a best-effort design (the cache is permanent)."""
+
+
 def _even(n: int) -> int:
     return n + (n & 1)
 
@@ -133,15 +139,21 @@ def _verified_lowpass(fs: float, pass_hz: float, stop_hz: float,
     passband ripple meet the target (the estimate is badly off for the
     very narrowband cheap stages at DSD rates)."""
     n = _even(_estimate_taps((stop_hz - pass_hz) / fs, att_db, ripple_db))
-    best = None
+    dev = att = float("nan")
     for _ in range(24):
         taps = _remez_lowpass(n, fs, pass_hz, stop_hz, att_db, ripple_db)
         dev, att = _measure(taps, fs, pass_hz, stop_hz)
-        best = taps
         if att >= att_db - 1.0 and dev <= max(ripple_db * 3.0, 1e-3):
             return taps
         n = _even(max(n + 2, int(n * 1.25)))
-    return best
+    # A spec miss must be LOUD: get_chain caches designs to disk, so a
+    # silently-returned best effort would ship an alias-leaking filter
+    # permanently (the build-time-verified contract in CLAUDE.md).
+    raise FilterDesignError(
+        f"lowpass spec unmet after growth to {n} taps: measured "
+        f"{att:.1f} dB stop / {dev:.2e} dB ripple vs target "
+        f"{att_db:.0f} dB / {ripple_db:.0e} (fs={fs:.0f}, "
+        f"pass={pass_hz:.0f}, stop={stop_hz:.0f})")
 
 
 def _kaiser_lowpass(n_taps: int, fs: float, pass_hz: float, stop_hz: float,
@@ -201,16 +213,19 @@ def _quality_stage(filt: FilterType, fs_in: float, out_hz: int,
         stop_hz = 1.05 * nyq
         cutoff = 0.80 * nyq
         n = _even(_estimate_taps((stop_hz - pass_hz) / fs_virtual, 110.0))
-        taps = None
+        att_meas = float("nan")
         for _ in range(24):
             taps = signal.firwin(
                 n, cutoff, window=("chebwin", 112.0), fs=fs_virtual, scale=True
             )
             _, att_meas = _measure(taps, fs_virtual, pass_hz, stop_hz)
             if att_meas >= 105.0:
-                break
+                return Stage(taps=taps * L, L=L, M=M)
             n = _even(max(n + 2, int(n * 1.25)))
-        return Stage(taps=taps * L, L=L, M=M)
+        raise FilterDesignError(
+            f"C-bank spec unmet after growth to {n} taps: "
+            f"{att_meas:.1f} dB stop vs 105 dB target "
+            f"(fs={fs_virtual:.0f}, stop={stop_hz:.0f})")
     else:
         raise ValueError(f"no quality stage for {filt}")
     taps = _verified_lowpass(fs_virtual, pass_hz, stop_hz, att, ripple)
@@ -324,7 +339,10 @@ def get_chain(filt: FilterType, in_rate: DsdRate, out_hz: int) -> tuple[Stage, .
         payload[f"taps{i}"] = s.taps
         payload[f"L{i}"] = np.int64(s.L)
         payload[f"M{i}"] = np.int64(s.M)
-    tmp = path.with_suffix(".tmp.npz")
+    # per-process tmp name: two processes designing the same chain
+    # concurrently must not interleave writes into one tmp file (the
+    # winner's rename would publish a truncated archive)
+    tmp = path.with_name(f"{key}.{os.getpid()}.tmp.npz")
     np.savez(tmp, **payload)
     tmp.replace(path)
     return tuple(chain)

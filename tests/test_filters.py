@@ -190,3 +190,17 @@ def test_disk_cache_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a.taps, b.taps)
         assert (a.L, a.M) == (b.L, b.M)
     design.get_chain.cache_clear()
+
+
+def test_unmeetable_spec_raises_instead_of_caching(monkeypatch):
+    """A design the growth loop cannot bring to spec must raise — not
+    return (and permanently cache) a best-effort alias-leaking filter.
+    The measurement is stubbed to always fail so the loop exhausts
+    instantly; the contract under test is the raise, not remez."""
+    import dsd2dxd_tpu.filters.design as design
+
+    monkeypatch.setattr(design, "_remez_lowpass",
+                        lambda n, *a, **k: np.zeros(design._even(n)))
+    monkeypatch.setattr(design, "_measure", lambda *a: (1.0, 0.0))
+    with pytest.raises(design.FilterDesignError):
+        design._verified_lowpass(176400.0, 20000.0, 24000.0, 120.0)
