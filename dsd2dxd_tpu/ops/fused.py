@@ -220,19 +220,22 @@ def _mxu_panels(comp_plan: PhasePlan, r_rows: int):
     return panels
 
 
-def chain_halo_lanes(plans: Sequence[PhasePlan]) -> int:
-    """Lane halo so every stage's left context is in-block: with s==1
-    everywhere, stage j needs hist_lanes extra lanes of its input. At the
-    top of the chain one lane is `groups` bytes. Rounded up to 128 so DMA
-    windows stay lane-tile aligned (the surplus is extra valid context)."""
-    need = sum(p.hist_lanes for p in plans)
-    return -(-need // 128) * 128
+def chain_halo_lanes(chain: Sequence[Stage]) -> int:
+    """Word-lane streaming halo of the fused step for `chain` — the
+    SAME value make_fused_step sizes its state with: per-stage history
+    plus the a-trous tail context of hybrid (÷64+) chains, rounded up
+    to 128 so DMA windows stay lane-tile aligned. (A plans-based
+    predecessor omitted the tail context, understating hybrid-chain
+    state by whole lane tiles — a sizing trap for new callers.)"""
+    return _fused_layout(chain)[4]
 
 
-def chain_halo_bytes(plans: Sequence[PhasePlan], groups: int = 1) -> int:
-    """Streaming-state bytes per channel: the lane halo times the bytes
-    per lane."""
-    return chain_halo_lanes(plans) * groups
+def chain_halo_bytes(chain: Sequence[Stage]) -> int:
+    """Streaming-state bytes per channel: lane halo x bytes per lane
+    (word dtype, x row groups for G=8/16) — equals the halo_bytes
+    make_fused_step returns."""
+    _plans, g, _tail, _rt, halo_lanes = _fused_layout(chain)
+    return halo_lanes * g
 
 
 from dsd2dxd_tpu.ops.phase import tree_sum as _tree_sum  # shared reduction
@@ -258,7 +261,7 @@ def _uniform01(shape):
 
 def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                   halo: int, gain: float, c_pad: int, n_blocks: int,
-                  groups: int, tail, r_tail: int, batch: int,
+                  groups: int, tail, r_tail: int, batch: int, r_rows: int,
                   emit: str = "frames", out_shift: int = 0, rr: int = 1,
                   mxu_meta=None):
     c_real = cfg.channels
@@ -270,7 +273,8 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
     # regardless of channel count. Sub-blocks are independent given their
     # halo (same overlap-save argument as the grid itself), so the
     # cascade body is unchanged; only unpack fans wide lanes into rows.
-    r_rows = batch * c_real if batch > 1 else (c_real if rr > 1 else c_pad)
+    # (r_rows comes from the factory so the BlockSpec shapes and the
+    # kernel's row arithmetic cannot drift apart.)
     block_lanes = batch * k_sub  # input lanes consumed per grid step
     scale = float(1 << (cfg.bit_depth - 1)) if cfg.bit_depth != 32 else 1.0
     # à-trous tail bookkeeping (lanes are head-output samples): stage t of
@@ -549,10 +553,12 @@ def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
     compile). Shallow/low-rate cells keep the 16 KiB default: the
     larger working set buys them nothing measurable.
 
-    ``in_hz`` (the DSD bit rate) is the right eligibility key — block
-    count per audio second is input bytes, not chain decimation. When
-    the caller doesn't know it, total ÷2^k decimation >= 64 is the
-    proxy (those chains only exist for DSD256+ inputs).
+    ``in_hz`` (the DSD bit rate) is the eligibility key — block count
+    per audio second is input bytes, not chain decimation, and the
+    chain alone cannot recover it (a ÷64 chain is DSD128->88.2k as
+    much as DSD512->352.8k). Callers that omit it get the measured
+    16 KiB default, so every path that can know the rate must pass it
+    or it will compile a different kernel than the engine's.
 
     Applies to both the plain fused step and the rational step's head
     (the decimation the kernel itself runs is what sets block count)."""
@@ -565,8 +571,7 @@ def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
         if plan is None:  # pragma: no cover - rational implies plain head
             return DEFAULT_BLOCK_BYTES
     _n_head, g, r_tail = plan
-    deep = (in_hz >= 11_289_600 if in_hz is not None
-            else 8 * g * r_tail >= 64)
+    deep = in_hz is not None and in_hz >= 11_289_600
     # The limit is block LANES, not bytes: the kernel unpacks 8G phase
     # rows over the lane block, so VMEM scales with block_bytes/G.
     # 16384 lanes compiles everywhere (measured); 65536 lanes fails
@@ -718,7 +723,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     )
     kernel = _build_kernel(plans_k, coef_tables, cfg, k_sub, halo_lanes,
                            gain, c_pad, n_blocks, groups, tail, r_tail,
-                           batch, emit, out_shift, rr, mxu_meta)
+                           batch, r_rows, emit, out_shift, rr, mxu_meta)
     panel_args = [jnp.asarray(p, dtype=jnp.bfloat16) for p in panels_np]
     panel_specs = [
         pl.BlockSpec(p.shape, lambda i, *_: (0, 0),

@@ -119,7 +119,7 @@ def test_fused_matches_phase_streaming(rate, out_hz, channels):
     cfg = StepConfig(channels=channels, tile_bytes=tile, bit_depth=32,
                      dither=DitherType.NONE, level_db=-2.0)
     fstep, halo = make_fused_step(chain, cfg, interpret=True)
-    assert halo == chain_halo_bytes(plans)
+    assert halo == chain_halo_bytes(chain)
     pstep = make_phase_step(chain, cfg)
     rng = np.random.default_rng(5)
     h_f = jnp.asarray(init_fused_halo(chain, channels))
@@ -653,11 +653,17 @@ def test_pick_block_bytes_policy():
             else:
                 assert bb == DEFAULT_BLOCK_BYTES, (rate, out_hz)
             assert bb % (g * 128) == 0 and (bb // g) % r_tail == 0
-    # rate-less fallback: total ÷2^k decimation >= 64 is the proxy
+    # rate-less calls get the measured default — the chain alone cannot
+    # recover the input rate (a ÷64 chain is DSD128->88.2k as much as
+    # DSD512->352.8k), so there is deliberately NO decimation proxy
     deep = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD512, 352800)
     shallow = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
-    assert pick_block_bytes(deep) == DEEP_BLOCK_BYTES
+    assert pick_block_bytes(deep) == DEFAULT_BLOCK_BYTES
     assert pick_block_bytes(shallow) == DEFAULT_BLOCK_BYTES
+    # the same ÷64 chain IS deep at DSD512 and NOT at DSD128
+    div64 = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)
+    assert pick_block_bytes(div64, DsdRate.DSD128.hz) == DEFAULT_BLOCK_BYTES
+    assert pick_block_bytes(deep, DsdRate.DSD512.hz) == DEEP_BLOCK_BYTES
 
 
 def test_mxu_head_optin_matches_phase():
