@@ -18,6 +18,7 @@ communication in the system — a scalar).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Sequence
 
@@ -59,7 +60,7 @@ def halo_bytes_for(chain: Sequence[Stage]) -> int:
     return (-(-bits // unit)) * unit // 8
 
 
-def _tile_chain_fn(chain, cfg: StepConfig, halo_bytes: int):
+def _tile_chain_fn(chain, cfg: StepConfig):
     """Per-tile function: (C, halo+tile bytes) -> ((n_out, C), peak).
 
     Processes halo+tile through the phase-major cascade with zero initial
@@ -91,16 +92,20 @@ def make_sharded_convert(chain, cfg: StepConfig, mesh: Mesh,
     """Build a jitted 2D-sharded converter over a ('stream', 'tile') mesh.
 
     Input:  (B, T, C, halo_bytes + tile_bytes) uint8 — B streams split
-            into T overlap-save tiles each, sharded P(stream, tile).
+            into T overlap-save tiles each, sharded P(stream, tile) —
+            plus per-tile PRNG keys (B, T, 2) and per-tile valid-output
+            counts (B, T) int32 (frames of each tile that are real
+            signal; trailing idle-pad FIR ringing past that count is
+            masked out of the peak, same as every 1D path).
     Output: (B, T, n_out, C) PCM sharded the same way, plus the global
             peak (pmax over both mesh axes).
     """
     halo = halo_bytes_for(chain)
-    tile_fn = _tile_chain_fn(chain, cfg, halo)
+    tile_fn = _tile_chain_fn(chain, cfg)
 
-    def shard_fn(x, keys):
+    def shard_fn(x, keys, valids):
         # x: (b_local, t_local, C, halo+tile); vmap the tile fn over both.
-        out, peaks = jax.vmap(jax.vmap(tile_fn))(x, keys)
+        out, peaks = jax.vmap(jax.vmap(tile_fn))(x, keys, valids)
         peak = jnp.max(peaks)
         peak = jax.lax.pmax(jax.lax.pmax(peak, tile_axis), stream_axis)
         return out, peak
@@ -108,7 +113,8 @@ def make_sharded_convert(chain, cfg: StepConfig, mesh: Mesh,
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(stream_axis, tile_axis, None, None),
-                  P(stream_axis, tile_axis, None)),
+                  P(stream_axis, tile_axis, None),
+                  P(stream_axis, tile_axis)),
         out_specs=(P(stream_axis, tile_axis, None, None), P()),
     )
     return jax.jit(mapped), halo
@@ -150,11 +156,13 @@ def convert_stream_tiled(planes: np.ndarray, chain, cfg: StepConfig,
     tile_bytes = -(-total // (n_dev * unit)) * unit
     halo = halo_bytes_for(chain)
     tiles = split_overlap_save(planes, n_dev, tile_bytes, halo)
-    keys = jax.random.split(key, n_dev)
-    sub_cfg = StepConfig(channels=c, tile_bytes=tile_bytes,
-                         bit_depth=cfg.bit_depth, dither=cfg.dither,
-                         level_db=cfg.level_db, dtype=cfg.dtype)
-    tile_fn = _tile_chain_fn(chain, sub_cfg, halo)
+    # fold_in(key, absolute tile index): the SAME derivation the chunked
+    # variant uses, so when the tile geometry matches (total bytes ==
+    # n_tiles x cfg.tile_bytes) the two paths produce bit-identical PCM
+    # even for dithered configs (pinned in tests/test_sharded.py).
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_dev))
+    sub_cfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
+    tile_fn = _tile_chain_fn(chain, sub_cfg)
 
     def shard_fn(x, k, v):
         out, peaks = jax.vmap(tile_fn)(x, k, v)
@@ -189,8 +197,11 @@ def convert_stream_tiled_chunked(read, chain, cfg: StepConfig, mesh: Mesh,
     Instead of staging the whole stream (VERDICT r2 weak 4), reads
     macro-chunks of n_devices x cfg.tile_bytes, splits each into
     overlap-save tiles carried across chunk boundaries (the halo is the
-    REAL previous bytes, so outputs match the one-dispatch version
-    everywhere past the very first halo), and dispatches ONE jitted
+    REAL previous bytes, so undithered outputs match the one-dispatch
+    version everywhere past the very first halo; dithered outputs match
+    when the tile geometry does — same tile_bytes — since both paths
+    key tile noise by fold_in(key, absolute tile index)), and dispatches
+    ONE jitted
     shard_map per chunk — fixed shapes, so the compile is reused for the
     whole stream (the old path recompiled per file length). Host RSS is
     O(n_devices x tile); uploads go through per-device
@@ -216,10 +227,8 @@ def convert_stream_tiled_chunked(read, chain, cfg: StepConfig, mesh: Mesh,
     tile_bytes = max(unit, -(-cfg.tile_bytes // unit) * unit)
     macro = n_dev * tile_bytes
     halo = halo_bytes_for(chain)
-    sub_cfg = StepConfig(channels=c, tile_bytes=tile_bytes,
-                         bit_depth=cfg.bit_depth, dither=cfg.dither,
-                         level_db=cfg.level_db, dtype=cfg.dtype)
-    tile_fn = _tile_chain_fn(chain, sub_cfg, halo)
+    sub_cfg = dataclasses.replace(cfg, tile_bytes=tile_bytes)
+    tile_fn = _tile_chain_fn(chain, sub_cfg)
 
     def shard_fn(x, k, v):
         out, peaks = jax.vmap(tile_fn)(x, k, v)

@@ -195,9 +195,11 @@ def test_make_sharded_convert_2d_mesh():
                      dtype=np.uint8)
     keys = jnp.asarray(jax.random.split(jax.random.PRNGKey(0), 8)
                        ).reshape(2, 4, -1)
-    out, peak = fn(jnp.asarray(x), keys)
     ratio = chain_ratio(chain)
-    assert out.shape == (2, 4, int(tile_bytes * 8 * ratio), 2)
+    n_keep = int(tile_bytes * 8 * ratio)
+    valids = jnp.full((2, 4), n_keep, dtype=jnp.int32)
+    out, peak = fn(jnp.asarray(x), keys, valids)
+    assert out.shape == (2, 4, n_keep, 2)
     assert np.isfinite(float(peak)) and 0.0 < float(peak) < 2.0
 
 
@@ -289,3 +291,45 @@ def test_cli_round_robin_multidevice(tmp_path):
     # each file landed on
     np.testing.assert_array_equal(pcms[0], pcms[1])
     np.testing.assert_array_equal(pcms[0], pcms[2])
+
+
+def test_chunked_matches_one_dispatch_dithered_aligned_geometry():
+    """With MATCHING tile geometry (total == n_dev x tile_bytes) the
+    chunked and one-dispatch paths must be bit-identical even for
+    dithered configs: both key tile noise by fold_in(key, absolute tile
+    index). (With differing geometry only undithered outputs match —
+    the docstrings scope the claim; this pins the aligned case.)"""
+    from dsd2dxd_tpu.parallel.sharded import (
+        _chain_unit_bytes,
+        convert_stream_tiled,
+        convert_stream_tiled_chunked,
+    )
+
+    mesh = _mesh_1d()
+    n_dev = len(mesh.devices.flat)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    unit = _chain_unit_bytes(chain)
+    tile_bytes = -(-4096 // unit) * unit
+    planes = synth_tone_dsd(997.0, 0.2, 2_822_400, amplitude=0.5,
+                            channels=2)[:, :n_dev * tile_bytes]
+    assert planes.shape[1] == n_dev * tile_bytes
+    cfg = StepConfig(channels=2, tile_bytes=tile_bytes, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    ref, ref_peak = convert_stream_tiled(planes, chain, cfg, mesh)
+
+    pos = [0]
+
+    def read(n):
+        if pos[0] >= planes.shape[1]:
+            return None
+        take = min(n, planes.shape[1] - pos[0])
+        out = planes[:, pos[0]:pos[0] + take]
+        pos[0] += take
+        return out
+
+    got = []
+    peak = convert_stream_tiled_chunked(
+        read, chain, cfg, mesh, lambda t: got.append(t.copy()))
+    got = np.concatenate(got, axis=0)
+    np.testing.assert_array_equal(got, ref)
+    assert abs(peak - ref_peak) < 1e-6
