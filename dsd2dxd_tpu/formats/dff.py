@@ -101,10 +101,14 @@ def parse_dff(f: BinaryIO) -> DffMetadata:
                 scid = payload[off:off + 4]
                 (ssize,) = struct.unpack(">Q", payload[off + 4:off + 12])
                 sdata = payload[off + 12:off + 12 + ssize]
-                if scid == b"FS  ":
+                # sub-chunks can be cut by the same EOF truncation the
+                # top-level clamp tolerates: degrade, don't struct.error
+                if scid == b"FS  " and len(sdata) >= 4:
                     (sample_rate,) = struct.unpack(">I", sdata[:4])
-                elif scid == b"CHNL":
+                elif scid == b"CHNL" and len(sdata) >= 2:
                     (channels,) = struct.unpack(">H", sdata[:2])
+                    if channels < 1:
+                        raise FormatError("DFF: CHNL declares 0 channels")
                     ids = []
                     for i in range(channels):
                         s = sdata[2 + 4 * i:6 + 4 * i]

@@ -241,7 +241,8 @@ def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
 
     frames = []
     expect_index = 0
-    while pos < len(data) and info.total_samples > sum(f.shape[0] for f in frames):
+    decoded = 0  # running count: sum-per-iteration made the oracle O(n^2)
+    while pos < len(data) and info.total_samples > decoded:
         br = BitReader(data, pos)
         if br.u(14) != 0x3FFE:
             raise ValueError(f"lost frame sync at byte {pos}")
@@ -301,6 +302,7 @@ def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
             raise ValueError(f"frame {index}: CRC-16 mismatch")
         pos = br.byte_pos()
         frames.append(np.stack(chans, axis=1))
+        decoded += frames[-1].shape[0]
 
     samples = (np.concatenate(frames, axis=0) if frames
                else np.zeros((0, info.channels), dtype=np.int64))

@@ -111,6 +111,15 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
     body = blob[10:10 + declared]
     if len(body) < declared:
         tag.truncated = True
+    # Tag-level unsynchronisation (flag 0x80): v2.2/v2.3 stuff a 0x00
+    # after every 0xFF over the WHOLE tag body (frame sizes refer to the
+    # de-unsynced data), so undo it before the frame loop — otherwise
+    # payloads keep the stuffed bytes (corrupt APIC) and non-syncsafe
+    # sizes desync the loop, silently dropping the rest of the tag. In
+    # v2.4 the same flag means every frame was unsynced individually;
+    # that is handled per-frame below (stored sizes count stored bytes).
+    if flags & 0x80 and major <= 3:
+        body = body.replace(b"\xff\x00", b"\xff")
     off = 0
     # Flag bit 0x40: v2.3/2.4 extended header (skip it); in v2.2 the same
     # bit means whole-tag COMPRESSION, which the spec says to ignore
@@ -174,6 +183,16 @@ def parse_id3(blob: bytes) -> Optional[Id3Tag]:
         if len(data) < size:
             tag.truncated = True
             break  # frame cut mid-payload: drop it, keep what we have
+        if major >= 4:
+            # v2.4 format flags: 0x01 = a 4-byte syncsafe data-length
+            # indicator precedes the payload; 0x02 = the payload is
+            # unsynchronised. Undo both and clear the bits so the
+            # re-serialized tag (v2.3 dialect, no unsync) stays honest.
+            if fflags & 0x01 and len(data) >= 4:
+                data = data[4:]
+            if fflags & 0x02 or flags & 0x80:
+                data = data.replace(b"\xff\x00", b"\xff")
+            fflags &= ~0x03
         tag.frames.append(Id3Frame(fid_s, data, fflags))
         off += 10 + size
     return tag
@@ -273,7 +292,13 @@ def id3_to_vorbis_comments(tag: Id3Tag) -> list[tuple[str, str]]:
         "TPOS": "DISCNUMBER",
     }
     out = []
+    has_tdrc = any(fr.frame_id == "TDRC" for fr in tag.frames)
     for fr in tag.frames:
+        # tags upgraded v2.3->v2.4 often carry TYER alongside TDRC;
+        # emitting both would duplicate DATE (players may show the
+        # legacy year) — the full TDRC timestamp wins
+        if fr.frame_id == "TYER" and has_tdrc:
+            continue
         name = mapping.get(fr.frame_id)
         if name is None:
             continue

@@ -173,3 +173,65 @@ def test_id3v22_compression_flag_skips_tag():
     body = _frame22(b"TT2", b"\x00Title")
     tag = parse_id3(_v22_blob(body, flags=0x40))
     assert tag is not None and tag.frames == []
+
+
+def _unsync(b: bytes) -> bytes:
+    return b.replace(b"\xff", b"\xff\x00")
+
+
+def test_v23_tag_level_unsync_deapplied():
+    """An unsynchronised v2.3 tag (flag 0x80; 0x00 stuffed after every
+    0xFF over the whole body) must parse to the original frames — the
+    stuffed bytes corrupted binary payloads (APIC) and the loop desynced
+    on non-syncsafe sizes, silently dropping the rest of the tag."""
+    import struct
+
+    img = b"\xff\xd8\xff\xe0" + bytes([0xFF, 0x00, 0x7F]) * 20
+    apic = b"\x00image/jpeg\x00\x03cover\x00" + img
+    frames = [(b"TIT2", b"\x00Tone \xff loud"), (b"APIC", apic)]
+    body = b""
+    for fid, data in frames:
+        body += fid + struct.pack(">I", len(data)) + b"\x00\x00" + data
+    stuffed = _unsync(body)
+    blob = (b"ID3" + bytes([3, 0, 0x80])
+            + bytes([(len(stuffed) >> 21) & 0x7F, (len(stuffed) >> 14) & 0x7F,
+                     (len(stuffed) >> 7) & 0x7F, len(stuffed) & 0x7F])
+            + stuffed)
+    tag = parse_id3(blob)
+    assert [f.frame_id for f in tag.frames] == ["TIT2", "APIC"]
+    assert tag.frames[0].text() == "Tone \xff loud"
+    assert tag.frames[1].data == apic
+
+
+def test_v24_frame_unsync_and_dli_deapplied():
+    """v2.4 per-frame unsync (format flag 0x02) and the data-length
+    indicator (0x01) must both be undone, and the flag bits cleared so
+    the re-serialized (v2.3-dialect) tag does not claim unsync."""
+    import struct
+
+    payload = b"\x00Year \xff 2024"
+    stuffed = _unsync(payload)
+    data = bytes([0, 0, 0, len(payload)]) + stuffed  # DLI + unsynced
+    size = len(data)
+    body = (b"TIT2"
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F])
+            + struct.pack(">H", 0x03) + data)
+    blob = (b"ID3" + bytes([4, 0, 0])
+            + bytes([(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                     (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body)
+    tag = parse_id3(blob)
+    assert tag.frames[0].data == payload
+    assert tag.frames[0].flags & 0x03 == 0
+
+
+def test_tyer_skipped_when_tdrc_present():
+    """Tags upgraded v2.3->v2.4 keep TYER alongside TDRC; only the full
+    TDRC timestamp may become DATE (duplicate DATE fields make players
+    show the legacy year)."""
+    tag = Id3Tag()
+    tag.set_text("TDRC", "2024-05-01")
+    tag.set_text("TYER", "2024")
+    cm = dict(id3_to_vorbis_comments(tag))
+    assert cm["DATE"] == "2024-05-01"
+    assert [k for k, _ in id3_to_vorbis_comments(tag)].count("DATE") == 1
