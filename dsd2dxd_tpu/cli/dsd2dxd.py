@@ -270,9 +270,15 @@ def run(argv=None) -> int:
             n_inputs += len(files)
         if n_inputs == 0:
             log.warning("No DSD inputs found")
-    except (Dsd2DxdError, ValueError, OSError) as e:
+    except Exception as e:  # noqa: BLE001 - the CLI contract maps EVERY
+        # conversion failure to a red [ERROR] + exit 1 (utils/errors.py);
+        # parser/writer edge cases can surface struct.error,
+        # ZeroDivisionError, etc., and a raw traceback breaks that and
+        # leaves progress bars unclosed
         bars.close()
-        log.error(str(e))
+        log.error(str(e) if isinstance(e, (Dsd2DxdError, ValueError,
+                                           OSError))
+                  else f"{type(e).__name__}: {e}")
         return 1
     finally:
         bars.close()

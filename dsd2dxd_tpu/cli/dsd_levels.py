@@ -88,7 +88,10 @@ def run(argv=None) -> int:
             if bar is not None:
                 bar.finish()
         with lock:
-            levels[name] = db
+            # key by full path: identical basenames in different dirs
+            # (disc1/track01.dsf, disc2/track01.dsf) must not overwrite
+            # each other's peak in the global max / processed count
+            levels[str(path) if path is not None else name] = db
         with bars.log_guard():
             print(f"{name}: peak level = {db:.1f} dBFS", file=sys.stderr)
 
@@ -113,9 +116,15 @@ def run(argv=None) -> int:
                 list(pool.map(job, files))
             if errors:
                 raise errors[0]
-    except (Dsd2DxdError, ValueError, OSError) as e:
+    except Exception as e:  # noqa: BLE001 - the CLI contract maps EVERY
+        # conversion failure to a red [ERROR] + exit 1 (utils/errors.py);
+        # parser/writer edge cases can surface struct.error,
+        # ZeroDivisionError, etc., and a raw traceback breaks that and
+        # leaves progress bars unclosed
         bars.close()
-        log.error(str(e))
+        log.error(str(e) if isinstance(e, (Dsd2DxdError, ValueError,
+                                           OSError))
+                  else f"{type(e).__name__}: {e}")
         return 1
     finally:
         bars.close()

@@ -60,6 +60,17 @@ class AiffWriter:
 
     def _chunks(self, data_size: int) -> bytes:
         ch = self.channels
+        if data_size > 0xFFFFFFFF - 16:
+            # IFF sizes (FORM total, SSND, COMM numSampleFrames) are
+            # 32-bit; a >4 GiB conversion must not crash at finalize
+            # (the audio is already on disk). Clamp and warn — readers
+            # fall back to EOF for maxed size fields.
+            from dsd2dxd_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "AIFF output exceeds the 4 GiB IFF limit; size fields "
+                "clamped (readers will use EOF)")
+            data_size = 0xFFFFFFFF - 16
         frames = data_size // (self._bps * ch) if ch else 0
         body = b""
         if self.aifc:
@@ -88,7 +99,7 @@ class AiffWriter:
     def _write_header(self, data_size: int) -> None:
         body = self._chunks(data_size)
         form_type = b"AIFC" if self.aifc else b"AIFF"
-        total = 4 + len(body) + data_size + (data_size & 1)
+        total = min(4 + len(body) + data_size + (data_size & 1), 0xFFFFFFFF)
         self.f.write(b"FORM" + struct.pack(">I", total) + form_type)
         self.f.write(body)
         self._header_len = 8 + 4 + len(body)

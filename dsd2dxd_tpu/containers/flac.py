@@ -86,6 +86,21 @@ class FlacWriter:
         return id3_to_vorbis_comments(tag), apic_pictures(tag)
 
     def _write_header(self) -> None:
+        # FLAC metadata blocks carry a 24-bit length: a picture whose
+        # block body exceeds 2^24-1 bytes physically cannot be stored —
+        # drop it with a warning instead of crashing the conversion
+        # (the audio matters more than oversized artwork).
+        keep = []
+        for pic in self._pictures:
+            if len(pic.data) + len(pic.mime) + len(pic.description) + 40                     > 0xFFFFFF:
+                from dsd2dxd_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    f"FLAC: embedded picture ({len(pic.data)} bytes) "
+                    "exceeds the 16 MiB metadata-block limit; dropped")
+            else:
+                keep.append(pic)
+        self._pictures = keep
         extras = int(bool(self._comments)) + len(self._pictures)
         header = self._native.flac_header(self._enc, is_last=extras == 0)
         self.f.write(header)

@@ -45,6 +45,18 @@ class WavWriter:
             pad = b"\x00" if len(body) & 1 else b""
             id3_chunk = b"id3 " + struct.pack("<I", len(body)) + body + pad
         riff_size = 4 + (8 + 16) + len(id3_chunk) + (8 + data_size) + (data_size & 1)
+        if riff_size > 0xFFFFFFFF:
+            # RIFF sizes are 32-bit; a >4 GiB conversion must not crash
+            # at finalize (the audio is already on disk). Clamp and warn
+            # — players read the data to EOF when the size field is
+            # maxed, which is the common convention for oversized WAV.
+            from dsd2dxd_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "WAV output exceeds the 4 GiB RIFF limit; size fields "
+                "clamped (readers will use EOF)")
+            riff_size = 0xFFFFFFFF
+            data_size = min(data_size, 0xFFFFFFFF)
         self.f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
         self.f.write(b"fmt " + struct.pack(
             "<IHHIIHH", 16, fmt_tag, ch, sr, byte_rate, block_align, bits))
