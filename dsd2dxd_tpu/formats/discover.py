@@ -23,10 +23,11 @@ def _is_dsd_file(p: Path) -> bool:
 def find_dsd_files(paths: Sequence[Path | str], recurse: bool) -> list[Path]:
     """Expand directories into DSD files; keep explicit files as-is.
 
-    Without -R, directories are not traversed beyond their immediate
-    contents? No — the reference only expands directories when -R is given
-    (README.md:109-112: "Without -R, directories are not traversed");
-    non-recursive mode lists a directory's immediate DSD files.
+    The reference only expands directories when -R is given
+    (README.md:109-112: "Without -R, directories are not traversed;
+    provide explicit file paths if you don't want recursion") — so
+    without -R a directory argument is SKIPPED with a warning, not
+    expanded one level (an earlier deviation a review pass caught).
     """
     out: list[Path] = []
     for p in paths:
@@ -40,9 +41,11 @@ def find_dsd_files(paths: Sequence[Path | str], recurse: bool) -> list[Path]:
                         if _is_dsd_file(q):
                             out.append(q)
             else:
-                for q in sorted(p.iterdir()):
-                    if q.is_file() and _is_dsd_file(q):
-                        out.append(q)
+                from dsd2dxd_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    f"Skipping directory \"{p}\" (directories are only "
+                    "traversed with -R/--recurse)")
         else:
             out.append(p)
     return out
@@ -66,13 +69,16 @@ def common_ancestor(paths: Sequence[Path]) -> Optional[Path]:
 
 
 def compute_base_dir(inputs: Sequence[Path]) -> Path:
-    """base_dir = parent of a single input, else the common ancestor of all
-    inputs' parents (reference: src/main.rs:264-273)."""
+    """base_dir = parent of a single input (file OR directory — the
+    reference takes paths[0].parent() unconditionally), else the PARENT
+    of the common path prefix of all inputs (src/main.rs:262-273:
+    common_path_all(paths).parent()). Earlier versions returned a
+    single directory itself / the common prefix without .parent(),
+    shifting the -p mirrored tree up one level vs the reference."""
     if len(inputs) == 1:
-        p = inputs[0]
-        return p.parent if not p.is_dir() else p
+        return inputs[0].parent
     anc = common_ancestor(list(inputs))
-    return anc if anc is not None else Path.cwd()
+    return anc.parent if anc is not None else Path("/")
 
 
 def rate_suffix(output_rate: int) -> str:

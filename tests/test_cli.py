@@ -70,19 +70,30 @@ def test_batch_recursive_wav(tone_dir, tmp_path):
     rc = cli.run(["-R", "-o", "w", "-b", "16", "-r", "88200",
                   "-p", str(tmp_path), str(tone_dir), "-q"])
     assert rc == 0
-    # tree mirrored relative to base_dir (= tone_dir)
-    assert (tmp_path / "a.wav").exists()
-    assert (tmp_path / "sub" / "b.wav").exists()
+    # tree mirrored relative to base_dir = tone_dir.PARENT (main.rs:266
+    # takes paths[0].parent() even for a directory), so the input
+    # directory's own name is kept in the output tree
+    d = tmp_path / tone_dir.name
+    assert (d / "a.wav").exists()
+    assert (d / "sub" / "b.wav").exists()
     # artwork copied (reference src/main.rs:43-46)
-    assert (tmp_path / "cover.jpg").exists()
+    assert (d / "cover.jpg").exists()
 
 
-def test_no_recurse_skips_subdir(tone_dir, tmp_path):
+def test_no_recurse_skips_directories_entirely(tone_dir, tmp_path):
+    """Without -R a directory argument is not traversed AT ALL
+    (reference README.md:109-112: 'provide explicit file paths if you
+    don't want recursion') — an earlier version expanded one level."""
     rc = cli.run(["-o", "w", "-r", "88200", "-p", str(tmp_path),
                   str(tone_dir), "-q"])
     assert rc == 0
-    assert (tmp_path / "a.wav").exists()
+    assert not (tmp_path / "a.wav").exists()
     assert not (tmp_path / "sub" / "b.wav").exists()
+    # explicit file paths still convert without -R
+    rc = cli.run(["-o", "w", "-r", "88200", "-p", str(tmp_path),
+                  str(tone_dir / "a.dsf"), "-q"])
+    assert rc == 0
+    assert (tmp_path / "a.wav").exists()
 
 
 def test_append_rate_suffix(tone_dir, tmp_path):

@@ -29,11 +29,14 @@ def test_find_recursive(tmp_path):
     assert got == [a, b, c]
 
 
-def test_find_nonrecursive_lists_immediate(tmp_path):
-    a = _mk(tmp_path, "a.dsf")
+def test_find_nonrecursive_skips_directories(tmp_path):
+    """README.md:109-112: without -R directories are not traversed —
+    not even one level (parity fix; the old behavior listed immediate
+    files)."""
+    _mk(tmp_path, "a.dsf")
     _mk(tmp_path, "sub/b.dff")
     got = find_dsd_files([tmp_path], recurse=False)
-    assert got == [a]
+    assert got == []
 
 
 def test_explicit_files_kept(tmp_path):
@@ -73,12 +76,20 @@ def test_output_path_append_rate(tmp_path):
 def test_base_dir_single_input(tmp_path):
     inp = _mk(tmp_path, "d/t.dsf")
     assert compute_base_dir([inp]) == inp.parent
+    # a single DIRECTORY input also uses its parent (main.rs:266 takes
+    # paths[0].parent() unconditionally), so -p mirrors out/<dir>/...
+    assert compute_base_dir([inp.parent]) == tmp_path
 
 
 def test_base_dir_common_ancestor(tmp_path):
     a = _mk(tmp_path, "x/a.dsf")
     b = _mk(tmp_path, "y/b.dsf")
-    assert compute_base_dir([a, b]) == tmp_path
+    # parent OF the common prefix (main.rs:271-273 common_path_all(...)
+    # .parent()), so the mirrored tree keeps the ancestor directory name
+    assert compute_base_dir([a, b]) == tmp_path.parent
+    # same-directory files: common prefix is the dir, base is its parent
+    c = _mk(tmp_path, "x/c.dsf")
+    assert compute_base_dir([a, c]) == tmp_path
 
 
 def test_copy_artwork(tmp_path):

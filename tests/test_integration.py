@@ -126,9 +126,10 @@ def test_umbrella_stdin_plus_dir(tone_dsf_by_rate, tmp_path, monkeypatch,
     assert rc == 0
     # stdin lands as output_88_2K.wav in -p (reference run_all_tests.sh:11)
     assert (out_dir / "output_88_2K.wav").exists()
-    # tree mirrored with the rate suffix
-    assert (out_dir / "a64_88_2K.wav").exists()
-    assert (out_dir / "sub" / "b128_88_2K.wav").exists()
+    # tree mirrored with the rate suffix, relative to base_dir =
+    # src_dir.parent (main.rs:266), so the input dir name is kept
+    assert (out_dir / "in" / "a64_88_2K.wav").exists()
+    assert (out_dir / "in" / "sub" / "b128_88_2K.wav").exists()
 
 
 def test_20bit_rides_in_24bit_container(tone_dsf_by_rate, tmp_path):

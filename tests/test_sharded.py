@@ -286,7 +286,10 @@ def test_cli_round_robin_multidevice(tmp_path):
     rc = run(["-o", "w", "-d", "X", "-p", str(out_multi),
               *[str(f) for f in files]])
     assert rc == 0
-    pcms = [_read_wav_pcm24(out_multi / f"t{i}.wav") for i in range(3)]
+    # multi-input base_dir = parent of the common prefix (main.rs:271-
+    # 273), so the common directory's name is kept in the mirrored tree
+    d = out_multi / tmp_path.name
+    pcms = [_read_wav_pcm24(d / f"t{i}.wav") for i in range(3)]
     # identical inputs -> identical outputs regardless of which device
     # each file landed on
     np.testing.assert_array_equal(pcms[0], pcms[1])
