@@ -75,6 +75,11 @@ def parse_dsf_header(f: BinaryIO) -> DsfMetadata:
         raise FormatError(f"DSF: invalid bits-per-sample {bits}")
     if ch_num < 1:
         raise FormatError("DSF: zero channels")
+    if not 1 <= block_size <= (1 << 20):
+        # spec value is 4096; 0 would loop reading empty super-blocks
+        # into a silent empty output, and a lying huge value would make
+        # the reader allocate block_size*channels at once
+        raise FormatError(f"DSF: implausible block size {block_size}")
 
     data_hdr = f.read(12)
     if len(data_hdr) < 12 or data_hdr[:4] != b"data":
@@ -108,10 +113,19 @@ def read_dsf_id3(f: BinaryIO, meta: DsfMetadata) -> Optional[bytes]:
         return None
     try:
         f.seek(meta.metadata_offset)
-        blob = f.read()
+        head = f.read(10)
+        if len(head) < 10 or head[:3] != b"ID3":
+            return None
+        # bounded read: the pointer is untrusted (it can point into the
+        # audio data of a multi-GiB file — an unbounded f.read() here
+        # materialized nearly the whole file before the prefix check);
+        # read only what the syncsafe tag header declares, tolerating
+        # truncation (broken fixture, SURVEY.md §4.2)
+        declared = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+                    | (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
+        footer = 10 if head[5] & 0x10 else 0
+        blob = head + f.read(declared + footer)
     except OSError:
-        return None
-    if len(blob) < 3 or blob[:3] != b"ID3":
         return None
     return blob
 

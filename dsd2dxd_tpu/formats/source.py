@@ -144,10 +144,14 @@ class DsdSource:
             if not raw:
                 break
             if len(raw) < bs * c:
-                # Short/truncated final super-block: zero-pad to full size
-                # (DSF pads the final block; tolerate truncation — the
-                # sample-count limit trims any excess).
-                raw = raw + b"\x00" * (bs * c - len(raw))
+                # Short/truncated final super-block: pad with the DSD
+                # idle pattern, NOT zeros — 0x00 bits are full-scale
+                # negative DC, and when a truncated file's header still
+                # declares the full sample count the pad falls INSIDE
+                # the valid range, so zero-pad fabricated a loud DC
+                # thump that inflated peaks (engine tile padding already
+                # used idle for the same reason).
+                raw = raw + b"\x69" * (bs * c - len(raw))
             block = np.frombuffer(raw, dtype=np.uint8).reshape(c, bs)
             take = min(bs, n_per_ch - got)
             chunks.append(block[:, :take])

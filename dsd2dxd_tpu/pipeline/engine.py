@@ -140,10 +140,10 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
             groups = fused.fused_plan(chain)[1]
 
             def make_state():
-                import jax as _jax
-
-                return _jax.device_put(
-                    fused.init_fused_halo(chain, cfg.channels))
+                # host array: _run does the ONE device_put to the
+                # converter's pinned device (a default-device put here
+                # cost an extra hop per file in multi-device batches)
+                return fused.init_fused_halo(chain, cfg.channels)
 
             def prep(planes, _g=groups):
                 return fused.prep_input(planes, _g)
@@ -168,11 +168,7 @@ def _cached_step(chain_key, cfg, want_planes: bool = False,
             groups = fused.fused_plan(chain[:-1])[1]
 
             def make_state():
-                import jax as _jax
-
-                halo, hist = fused.init_fused_rational_state(
-                    chain, cfg.channels)
-                return (_jax.device_put(halo), hist)
+                return fused.init_fused_rational_state(chain, cfg.channels)
 
             def prep(planes, _g=groups):
                 return fused.prep_input(planes, _g)
@@ -406,11 +402,10 @@ class Converter:
                 chain_key, cfg,
                 want_planes=sink is not None and not float_out,
                 out_shift=self._packed[1] if self._packed else 0)
-            state = make_state()
-            if self.device is not None:
-                import jax
+            import jax
 
-                state = jax.device_put(state, self.device)
+            # one placement: device=None lands on the default device
+            state = jax.device_put(make_state(), self.device)
             seed_base = _file_seed(self.input_path)
 
             total_bytes = info.data_bytes_per_channel  # None for unbounded stdin

@@ -195,3 +195,43 @@ class TestSource:
         out = src.read(4096)
         assert out.shape == (1, 100)
         assert src.read(4096) is None
+
+
+def test_dsf_zero_block_size_raises(tmp_path):
+    """block_size=0 used to loop empty super-block reads into a silent
+    header-only output (exit 0, total data loss); huge values would
+    allocate block_size*channels at once. Both are FormatError now."""
+    import struct
+
+    from dsd2dxd_tpu.formats.dsf import parse_dsf_header
+    from dsd2dxd_tpu.utils.errors import FormatError
+
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    p = tmp_path / "t.dsf"
+    write_dsf(p, synth_tone_dsd(1000.0, 0.01, 2_822_400), 2_822_400)
+    raw = bytearray(p.read_bytes())
+    # fmt chunk starts at 28; block_size is at offset 28+4+8+4*6+8 = 72
+    for bad in (0, 0xFFFFFFFF):
+        struct.pack_into("<I", raw, 72, bad)
+        import io
+        with pytest.raises(FormatError):
+            parse_dsf_header(io.BytesIO(bytes(raw)))
+
+
+def test_dsf_lying_metadata_pointer_bounded(tmp_path):
+    """A metadata pointer aimed into the audio data must not slurp the
+    rest of the file: the reader now reads the 10-byte ID3 header and
+    only the syncsafe-declared size."""
+    from dsd2dxd_tpu.formats.dsf import open_dsf, write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    p = tmp_path / "t.dsf"
+    write_dsf(p, synth_tone_dsd(1000.0, 0.05, 2_822_400), 2_822_400)
+    raw = bytearray(p.read_bytes())
+    import struct
+    struct.pack_into("<Q", raw, 20, 40)  # pointer into the header/data
+    p.write_bytes(bytes(raw))
+    src, _meta = open_dsf(p)  # must not raise nor read ~the whole file
+    assert src.info.id3 is None  # no ID3 magic at the lied-about offset
