@@ -86,9 +86,15 @@ def parse_dff(f: BinaryIO) -> DffMetadata:
         if hdr is None:
             break
         cid, size = hdr
-        # Clamp lying sizes to what is actually present.
+        # Clamp lying sizes to what is actually present. For unseekable
+        # or non-stat-able streams, still bound metadata-chunk reads: a
+        # fuzzed u64 size near 2^64 overflows f.read()'s ssize_t (and
+        # would otherwise try to materialize it); PROP/ID3 chunks are
+        # small, so a generous cap only bites on garbage.
         if real_size is not None:
             size = min(size, max(0, real_size - (pos + 12)))
+        elif cid != b"DSD ":
+            size = min(size, 1 << 28)
         if cid == b"FVER":
             (version,) = struct.unpack(">I", f.read(4)[:4].ljust(4, b"\0"))
             f.seek(pos + 12 + size + (size & 1))

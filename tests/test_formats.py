@@ -235,3 +235,54 @@ def test_dsf_lying_metadata_pointer_bounded(tmp_path):
     p.write_bytes(bytes(raw))
     src, _meta = open_dsf(p)  # must not raise nor read ~the whole file
     assert src.info.id3 is None  # no ID3 magic at the lied-about offset
+
+
+def test_parser_fuzz_only_clean_errors():
+    """Parsers must degrade to FormatError/None on arbitrary garbage —
+    never struct.error / ZeroDivisionError / MemoryError (the CLI maps
+    Dsd2DxdError to the documented red [ERROR]; anything else is a bug
+    in the parser's defenses). Mutations seed from REAL headers so the
+    fuzz reaches deep branches, not just the magic check."""
+    import io as _io
+
+    from dsd2dxd_tpu.formats.dff import parse_dff
+    from dsd2dxd_tpu.formats.dsf import parse_dsf_header, write_dsf
+    from dsd2dxd_tpu.formats.id3 import parse_id3
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+    from dsd2dxd_tpu.utils.errors import FormatError
+
+    rng = np.random.default_rng(0xF422)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "s.dsf"
+        write_dsf(p, synth_tone_dsd(1000.0, 0.01, 2_822_400), 2_822_400)
+        dsf_seed = bytearray(p.read_bytes())
+    id3_seed = bytearray(
+        b"ID3\x03\x00\x00\x00\x00\x00\x20TIT2\x00\x00\x00\x05\x00\x00"
+        b"\x00Tone" + bytes(10))
+    dff_seed = bytearray(
+        b"FRM8" + (0).to_bytes(8, "big") + b"DSD "
+        + b"FVER" + (4).to_bytes(8, "big") + bytes(4)
+        + b"PROP" + (30).to_bytes(8, "big") + b"SND "
+        + b"FS  " + (4).to_bytes(8, "big") + (2822400).to_bytes(4, "big")
+        + b"CHNL" + (2).to_bytes(8, "big") + (0).to_bytes(2, "big")
+        + b"DSD " + (64).to_bytes(8, "big") + bytes(64))
+    for name, parse, seed in (
+            ("dsf", lambda b: parse_dsf_header(_io.BytesIO(b)), dsf_seed),
+            ("dff", lambda b: parse_dff(_io.BytesIO(b)), dff_seed),
+            ("id3", parse_id3, id3_seed)):
+        for trial in range(300):
+            buf = bytearray(seed)
+            for _ in range(rng.integers(1, 6)):
+                i = rng.integers(0, len(buf))
+                buf[i] = rng.integers(0, 256)
+            if rng.integers(0, 4) == 0:  # truncate
+                buf = buf[:rng.integers(0, len(buf))]
+            try:
+                parse(bytes(buf))
+            except FormatError:
+                pass
+            except Exception as e:  # pragma: no cover - the failure mode
+                raise AssertionError(
+                    f"{name} fuzz trial {trial}: {type(e).__name__}: {e}"
+                ) from e
