@@ -152,3 +152,60 @@ class TestAiff:
         raw = path.read_bytes()
         ssnd = raw.index(b"SSND")
         assert raw[ssnd + 16: ssnd + 19] == b"\x00\x00\x01"
+
+
+def test_wav_over_4gib_header_clamps_instead_of_crashing():
+    """RIFF size fields are 32-bit; finalize after a >4 GiB conversion
+    must clamp with a warning (readers use EOF), not struct.error AFTER
+    the audio was fully written (leaving the zero-size init header)."""
+    import io
+
+    buf = io.BytesIO()
+    w = WavWriter(buf, channels=2, sample_rate=352800, bit_depth=24)
+    w._data_bytes = 5 * 2 ** 30  # pretend 5 GiB of payload were written
+    w.finalize()  # must not raise
+    raw = buf.getvalue()
+    assert struct.unpack("<I", raw[4:8])[0] == 0xFFFFFFFF
+    data_at = raw.index(b"data")
+    assert struct.unpack("<I", raw[data_at + 4:data_at + 8])[0] == 0xFFFFFFFF
+
+
+def test_aiff_over_4gib_header_clamps_instead_of_crashing():
+    import io
+
+    buf = io.BytesIO()
+    w = AiffWriter(buf, channels=2, sample_rate=352800, bit_depth=24)
+    w._data_bytes = 5 * 2 ** 30
+    w.finalize()
+    raw = buf.getvalue()
+    assert struct.unpack(">I", raw[4:8])[0] == 0xFFFFFFFF
+    ssnd = raw.index(b"SSND")
+    assert struct.unpack(">I", raw[ssnd + 4:ssnd + 8])[0] <= 0xFFFFFFFF
+
+
+def test_flac_oversized_picture_dropped_not_crashed():
+    """A >16 MiB APIC cannot fit a FLAC metadata block's 24-bit length:
+    it must be dropped with a warning, not OverflowError the whole
+    conversion."""
+    import io
+
+    from dsd2dxd_tpu.containers.flac import FlacWriter
+    from dsd2dxd_tpu.formats.id3 import Id3Tag
+
+    img = b"\xff\xd8" + bytes(17 * 1024 * 1024)
+    apic = b"\x00image/jpeg\x00\x03big\x00" + img
+    tag = Id3Tag()
+    tag.set_text("TIT2", "Tone")
+    from dsd2dxd_tpu.formats.id3 import Id3Frame
+
+    tag.frames.append(Id3Frame("APIC", apic))
+    buf = io.BytesIO()
+    w = FlacWriter(buf, 2, 88200, 16, id3=tag.to_bytes())  # must not raise
+    w.write(np.zeros((4096, 2), dtype=np.int32))
+    w.finalize()
+    from dsd2dxd_tpu.formats.flac_decode import decode_flac
+
+    st = decode_flac(buf.getvalue())
+    assert st.md5_ok
+    assert st.comments.get("TITLE") == "Tone"
+    assert not st.pictures  # oversized art dropped, audio intact
