@@ -566,6 +566,64 @@ def test_planes_emission_unbatched_layout():
     assert interleave_planes_numpy(opn, layout, of.shape[0]) == b.tobytes()
 
 
+@pytest.mark.parametrize("channels", [3, 5, 6])
+def test_multichannel_fused_planes_and_streaming(channels):
+    """C>2 sources (5.0/5.1 DSF channel types; raw `-c N`,
+    /root/reference/src/main.rs:50-52): odd channel counts exercise the
+    sublane-batch edge cases (C=3 -> batch=2 with 6 rows, C=5/6 ->
+    batch=1 with idle-padded rows). Fused frames must match the phase
+    path, and the planes emission + both interleavers + deplaner must
+    agree with the frames output — previously only C∈{1,2,8} had CI
+    coverage."""
+    from dsd2dxd_tpu.native import lib as native
+    from dsd2dxd_tpu.pipeline.transfer import (
+        deplane_frames,
+        deplane_frames_numpy,
+        interleave_planes_numpy,
+    )
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    tile = 16384 * 2
+    cfg = StepConfig(channels=channels, tile_bytes=tile, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    fstep, halo_bytes = make_fused_step(chain, cfg, interpret=True)
+    pstep = make_phase_step(chain, cfg)
+    plstep, _h, layout = make_fused_step(chain, cfg, interpret=True,
+                                         emit="planes")
+    assert layout.batch == (2 if channels == 3 else 1)
+    rng = np.random.default_rng(11)
+    h_f = jnp.asarray(init_fused_halo(chain, channels))
+    h_pl = jnp.asarray(init_fused_halo(chain, channels))
+    h_p = init_phase_hists(build_chain_plans(chain), channels)
+    key = jax.random.PRNGKey(0)
+    for t in range(2):
+        x = rng.integers(0, 256, size=(channels, tile), dtype=np.uint8)
+        of, pf, h_f = fstep(x, h_f, t)
+        opl, ppl, h_pl = plstep(x, h_pl, t)
+        op, pp, h_p = pstep(x, h_p, key)
+        of, op, opl = np.asarray(of), np.asarray(op), np.asarray(opl)
+        assert of.shape == op.shape == (tile * 8 // 8, channels)
+        skip = halo_bytes if t == 0 else 0
+        d = np.abs(of[skip:].astype(np.int64) - op[skip:].astype(np.int64))
+        assert d.max() <= 5
+        assert float(pf) == float(ppl)
+        # planes -> wire bytes and frame-major int32 must invert exactly
+        n = of.shape[0]
+        vv = (of.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((len(vv), 3), np.uint8)
+        b[:, 0] = vv & 0xFF
+        b[:, 1] = (vv >> 8) & 0xFF
+        b[:, 2] = (vv >> 16) & 0xFF
+        expect = b.tobytes()
+        assert interleave_planes_numpy(opl, layout, n) == expect
+        np.testing.assert_array_equal(deplane_frames_numpy(opl, layout, n),
+                                      of.astype(np.int32))
+        if native is not None:
+            assert native.interleave_planes(opl, layout, n) == expect
+            np.testing.assert_array_equal(deplane_frames(opl, layout, n),
+                                          of.astype(np.int32))
+
+
 def test_rational_batched_config_actually_batches():
     """The 21504-byte RATIONAL_CONFIGS block must exercise batch>1, or
     the CI coverage it exists for silently evaporates."""

@@ -87,6 +87,50 @@ def test_rate_matrix_cell(in_rate, out_hz, tone_dsf_by_rate, tmp_path):
     assert abs(rms * np.sqrt(2) - 0.5) < 0.03
 
 
+def test_six_channel_dsf_to_wav(tmp_path):
+    """5.1-style 6-channel DSF end-to-end through the engine: DSF channel
+    counts go up to 6 (channel type 7) and the reference converts them
+    like any other planar source. Asserts channel count, frame count, and
+    the per-channel tone (each channel gets a distinct phase so a
+    channel-swap or row-padding bug shows up as amplitude loss)."""
+    from dsd2dxd_tpu.formats.dsf import open_dsf, write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    hz, out_hz = 2_822_400, 352_800
+    planes = synth_tone_dsd(1000.0, 0.25, hz, amplitude=0.4, channels=6,
+                            phase_per_ch=0.7)
+    src = tmp_path / "tone6.dsf"
+    write_dsf(src, planes, hz, lsb_first=True)
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0,
+        output_rate=out_hz, out_dir=tmp_path, dither=DitherType.TPDF,
+        filt=FilterType.EQUIRIPPLE, append_rate=False, base_dir=tmp_path,
+        input_path=src)
+    conv.do_conversion()
+    raw = conv.output_path().read_bytes()
+    ch = struct.unpack("<H", raw[22:24])[0]
+    rate = struct.unpack("<I", raw[24:28])[0]
+    assert (ch, rate) == (6, out_hz)
+    pos = raw.index(b"data")
+    (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+    data = raw[pos + 8:pos + 8 + size]
+    n_frames = len(data) // (6 * 3)
+    _, meta = open_dsf(src)
+    assert abs(n_frames - meta.sample_count * out_hz // hz) <= 1
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 6, 3)
+    vals = (b[..., 0].astype(np.int32) | (b[..., 1].astype(np.int32) << 8)
+            | (b[..., 2].astype(np.int32) << 16))
+    vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    x = vals[4000:].astype(np.float64) / 2 ** 23
+    n = len(x)
+    freqs = np.fft.rfftfreq(n, 1 / out_hz)
+    for c in range(6):
+        X = np.abs(np.fft.rfft(x[:, c] * np.hanning(n)))
+        assert abs(freqs[np.argmax(X)] - 1000.0) < 25.0
+        rms = np.sqrt(np.mean(x[:, c] ** 2))
+        assert abs(rms * np.sqrt(2) - 0.4) < 0.03
+
+
 def test_umbrella_stdin_plus_dir(tone_dsf_by_rate, tmp_path, monkeypatch,
                                  capsysbinary):
     """The run_all_tests.sh:11 umbrella line:
