@@ -48,6 +48,18 @@ def _tone(n, channels, amp, bps, seed=0):
     return np.clip(np.round(x), -lim, lim - 1).astype(np.int32)
 
 
+@pytest.mark.parametrize("channels", [6, 8])
+def test_roundtrip_multichannel(channels):
+    """FLAC carries up to 8 channels (5.1 DSF sources land here as 6);
+    C!=2 must take the independent-channel path (no stereo decorrelation,
+    flac.cc gates assignments on channels==2) and still round-trip
+    bit-exactly with a passing MD5."""
+    x = _tone(12000, channels, 1 << 21, 24, seed=3)
+    st, blob = roundtrip(x, bps=24)
+    assert st.channels == channels
+    assert len(blob) < x.nbytes * 0.9
+
+
 @pytest.mark.parametrize("bps", [16, 20, 24])
 @pytest.mark.parametrize("channels", [1, 2])
 def test_roundtrip_tonal(bps, channels):
