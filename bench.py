@@ -98,6 +98,14 @@ def main(e2e: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() != "tpu":
+        # A CPU number recorded under a TPU metric name would poison the
+        # round record; the __main__ probe normally prevents reaching
+        # here, but guard the direct-call path too.
+        _emit_unreachable("xrt_dsd64_stereo_to_352k8_24bit"
+                          + ("_e2e_tunnel" if e2e else "_device"))
+        raise SystemExit(0)
+
     from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
     from dsd2dxd_tpu.ops.resample import StepConfig
     from dsd2dxd_tpu.pipeline.transfer import (
@@ -316,12 +324,67 @@ def config_n(n: int) -> None:
         raise SystemExit(f"unknown config {n}")
 
 
+def _await_tpu(budget_s: float, probe_timeout_s: float = 180.0) -> bool:
+    """Wait (bounded) for the TPU to be reachable before benchmarking.
+
+    When the axon tunnel is down, jax device discovery HANGS in-process
+    (>5 min, measured 2026-08-18) — it never raises — so probing must
+    happen in a killable subprocess. Retrying inside a budget covers
+    tunnel flaps; returning False lets the caller emit a well-formed
+    "no measurement" JSON line instead of hanging the driver or —
+    worse — silently benchmarking the CPU fallback and recording it as
+    a TPU number."""
+    import subprocess
+
+    # A tiny budget still gets one bounded probe (30 s floor) rather
+    # than a 3-minute hang-then-kill.
+    probe_timeout_s = min(probe_timeout_s, max(30.0, budget_s))
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.default_backend() == 'tpu'"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
+
+
+def _emit_unreachable(metric: str) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": None,
+        "unit": "x_realtime",
+        "vs_baseline": None,
+        "note": "TPU tunnel unreachable (device discovery hung past the "
+                "probe budget); no measurement taken",
+    }))
+
+
 if __name__ == "__main__":
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--e2e", action="store_true")
     ap.add_argument("--config", type=int, default=None,
                     help="run BASELINE.md end-to-end config 1-5")
+    ap.add_argument("--tpu-wait", type=float, default=float(
+        os.environ.get("DSD2DXD_BENCH_TPU_WAIT_S", "900")),
+        help="seconds to wait for the TPU tunnel before emitting a "
+             "null-measurement JSON line (0 = probe once)")
     a = ap.parse_args()
+    if not _await_tpu(a.tpu_wait):
+        if a.config is not None:
+            _emit_unreachable(f"xrt_cfg{a.config}_e2e")
+        else:
+            _emit_unreachable("xrt_dsd64_stereo_to_352k8_24bit"
+                              + ("_e2e_tunnel" if a.e2e else "_device"))
+        raise SystemExit(0)
     if a.config is not None:
         config_n(a.config)
     else:
