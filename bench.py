@@ -131,6 +131,10 @@ def main(e2e: bool = False) -> None:
 
     rng = np.random.default_rng(0)
     n_tiles = 8
+    from dsd2dxd_tpu.filters.design import chain_ratio, get_chain
+
+    n_frames = int(tile_bytes * 8 * chain_ratio(
+        get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)))
     host_tiles = [rng.integers(0, 256, size=(2, tile_bytes), dtype=np.uint8)
                   for _ in range(n_tiles)]
 
@@ -154,8 +158,11 @@ def main(e2e: bool = False) -> None:
             if e2e:
                 if layout is not None:
                     # the kernel emitted wire byte planes; one native
-                    # host pass interleaves them (pipeline/transfer.py)
-                    n_frames = tile_bytes * 8 // 8
+                    # host pass interleaves them (pipeline/transfer.py).
+                    # Derive the frame count from the chain ratio (the
+                    # engine's n_valid discipline) — a hardcoded ÷8
+                    # would walk the native interleaver out of bounds
+                    # if this bench ever moves to a deeper cell.
                     interleave_planes(np.asarray(out), layout, n_frames)
                 else:
                     unpack24_host(np.asarray(pack24_device(out)))

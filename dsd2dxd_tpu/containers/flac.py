@@ -22,8 +22,8 @@ import numpy as np
 from dsd2dxd_tpu.utils.errors import ConfigError
 
 
-def _picture_block(pic, is_last: bool) -> bytes:
-    """FLAC PICTURE metadata block (type 6) from a decoded APIC frame.
+def _picture_body(pic) -> bytes:
+    """FLAC PICTURE metadata body (type 6) from a decoded APIC frame.
     Width/height/depth/colors are 0 = unknown (we don't parse image
     headers; players read them from the image itself)."""
     mime = pic.mime.encode("ascii", "replace")
@@ -33,6 +33,10 @@ def _picture_block(pic, is_last: bool) -> bytes:
     body += struct.pack(">I", len(desc)) + desc
     body += struct.pack(">IIII", 0, 0, 0, 0)
     body += struct.pack(">I", len(pic.data)) + pic.data
+    return body
+
+
+def _picture_block(body: bytes, is_last: bool) -> bytes:
     header = bytes([(0x80 if is_last else 0) | 6]) + len(body).to_bytes(3, "big")
     return header + body
 
@@ -92,14 +96,18 @@ class FlacWriter:
         # (the audio matters more than oversized artwork).
         keep = []
         for pic in self._pictures:
-            if len(pic.data) + len(pic.mime) + len(pic.description) + 40                     > 0xFFFFFF:
+            # measure the ENCODED body — a multi-byte (e.g. CJK) UTF-8
+            # description can overflow the limit even when the Python
+            # str lengths look small
+            body = _picture_body(pic)
+            if len(body) > 0xFFFFFF:
                 from dsd2dxd_tpu.utils.logging import get_logger
 
                 get_logger().warning(
                     f"FLAC: embedded picture ({len(pic.data)} bytes) "
                     "exceeds the 16 MiB metadata-block limit; dropped")
             else:
-                keep.append(pic)
+                keep.append(body)
         self._pictures = keep
         extras = int(bool(self._comments)) + len(self._pictures)
         header = self._native.flac_header(self._enc, is_last=extras == 0)
@@ -108,9 +116,9 @@ class FlacWriter:
             extras -= 1
             self.f.write(_vorbis_comment_block(self._comments,
                                                is_last=extras == 0))
-        for pic in self._pictures:
+        for body in self._pictures:
             extras -= 1
-            self.f.write(_picture_block(pic, is_last=extras == 0))
+            self.f.write(_picture_block(body, is_last=extras == 0))
         self._header_len = 42
 
     def write(self, samples: np.ndarray) -> None:

@@ -186,6 +186,13 @@ def _read_utf8(br: BitReader) -> int:
     return val
 
 
+def _meta_u32(body: bytes, off: int, endian: str, block: str) -> int:
+    """Bounds-checked u32 field read inside a metadata block body."""
+    if off + 4 > len(body):
+        raise ValueError(f"truncated {block} metadata block")
+    return struct.unpack(endian + "I", body[off:off + 4])[0]
+
+
 def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
@@ -210,26 +217,36 @@ def decode_flac(data: bytes, check_crc: bool = True) -> FlacStream:
             info = FlacStream(rate, channels, bps, total, md5,
                               min_block, max_block)
         elif btype == 4:  # VORBIS_COMMENT
+            # bounds-checked reads: a truncated or lying block must raise
+            # the decoder's ValueError contract, not struct.error
             off = 0
-            (vlen,) = struct.unpack("<I", body[off:off + 4])
+            vlen = _meta_u32(body, off, "<", "VORBIS_COMMENT")
             off += 4 + vlen
-            (n,) = struct.unpack("<I", body[off:off + 4])
+            n = _meta_u32(body, off, "<", "VORBIS_COMMENT")
             off += 4
             for _ in range(n):
-                (elen,) = struct.unpack("<I", body[off:off + 4])
+                elen = _meta_u32(body, off, "<", "VORBIS_COMMENT")
                 off += 4
+                if off + elen > len(body):
+                    raise ValueError("truncated VORBIS_COMMENT entry")
                 k, _, v = body[off:off + elen].decode("utf-8").partition("=")
                 comments[k.upper()] = v
                 off += elen
         elif btype == 6:  # PICTURE
             off = 0
-            (ptype,) = struct.unpack(">I", body[off:off + 4]); off += 4
-            (mlen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            ptype = _meta_u32(body, off, ">", "PICTURE"); off += 4
+            mlen = _meta_u32(body, off, ">", "PICTURE"); off += 4
+            if off + mlen > len(body):
+                raise ValueError("PICTURE mime length exceeds block")
             mime = body[off:off + mlen].decode("ascii", "replace"); off += mlen
-            (dlen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            dlen = _meta_u32(body, off, ">", "PICTURE"); off += 4
+            if off + dlen > len(body):
+                raise ValueError("PICTURE description length exceeds block")
             desc = body[off:off + dlen].decode("utf-8", "replace"); off += dlen
             off += 16  # width/height/depth/colors
-            (ilen,) = struct.unpack(">I", body[off:off + 4]); off += 4
+            ilen = _meta_u32(body, off, ">", "PICTURE"); off += 4
+            if off + ilen > len(body):
+                raise ValueError("PICTURE image length exceeds block")
             pictures.append((ptype, mime, desc, body[off:off + ilen]))
         pos += 4 + size
         if last:

@@ -229,6 +229,9 @@ class Converter:
                                   else _DEFAULT_TILE_TARGET)
         # (mode 16|24, shift, big_endian, write_packed) device-pack drain
         self._packed = None
+        # does the device step emit float frames? (set in _run; gates the
+        # partial-final-tile peak recompute in _drain)
+        self._float_out = False
         # fused.PlaneLayout when the kernel emits wire byte planes
         self._plane_layout = None
         self._out_path = self._build_output_path()
@@ -365,6 +368,7 @@ class Converter:
             float_out = (self.level_check_only
                          or self.dither is DitherType.NJAD
                          or self.bit_depth == 32)
+            self._float_out = float_out
             # Scale tiles with the input rate: constant audio seconds per
             # tile (steady progress cadence) and enough work per dispatch
             # to amortize fixed per-step costs at DSD256/512 rates — but
@@ -550,8 +554,11 @@ class Converter:
         # it runs the float frames-major path, so recompute the
         # valid-prefix max exactly on host there; one extra D2H on the
         # final tile of a file, full tiles keep the free kernel peak.
-        if (self._plane_layout is None and self._packed is None
-                and n_valid < np.shape(out)[0]):
+        # (gated on float output: an int-frames sink here — e.g. FLAC via
+        # the phase path — would replace the normalized float peak with a
+        # raw int32 magnitude, ~2^23 too large at 24-bit)
+        if (self._float_out and self._plane_layout is None
+                and self._packed is None and n_valid < np.shape(out)[0]):
             tile_peak = (float(np.abs(np.asarray(out)[:n_valid]).max())
                          if n_valid > 0 else 0.0)
         peak = max(peak, tile_peak)

@@ -73,6 +73,18 @@ def pack16_jitted():
     return jax.jit(lambda s: s.reshape(-1).astype(jnp.int16))
 
 
+def _check_plane_capacity(planes: np.ndarray, layout, n_frames: int) -> None:
+    """The native interleaver/deplaner (pack.cc) trusts n_frames; a count
+    past the blocked layout's capacity would walk run_base out of bounds.
+    Capacity: batch sub-blocks x cols lanes (batch=1: cols) frames."""
+    cols = planes.shape[-1]
+    cap = layout.batch * cols if layout.batch > 1 else cols
+    if not (0 <= n_frames <= cap):
+        raise ValueError(
+            f"n_frames {n_frames} exceeds plane capacity {cap} "
+            f"(layout {layout})")
+
+
 def interleave_planes(planes: np.ndarray, layout, n_frames: int,
                       big_endian: bool = False) -> bytes:
     """Blocked kernel byte planes (ops/fused.PlaneLayout) -> wire bytes.
@@ -84,6 +96,7 @@ def interleave_planes(planes: np.ndarray, layout, n_frames: int,
     from dsd2dxd_tpu.native import lib as native
 
     planes = np.ascontiguousarray(planes)
+    _check_plane_capacity(planes, layout, n_frames)
     if native is not None:
         return native.interleave_planes(planes, layout, n_frames,
                                         big_endian)
@@ -127,6 +140,7 @@ def deplane_frames(planes: np.ndarray, layout, n_frames: int) -> np.ndarray:
     from dsd2dxd_tpu.native import lib as native
 
     planes = np.ascontiguousarray(planes)
+    _check_plane_capacity(planes, layout, n_frames)
     if native is not None:
         return native.deplane_frames(planes, layout, n_frames)
     return deplane_frames_numpy(planes, layout, n_frames)

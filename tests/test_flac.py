@@ -243,6 +243,74 @@ def test_apic_artwork_becomes_picture_block(tmp_path):
     assert data == img
 
 
+def test_oversized_picture_measured_in_encoded_bytes(tmp_path):
+    """The 16 MiB PICTURE guard must measure the ENCODED body: a CJK
+    description whose str length looks small expands 3x in UTF-8 and can
+    push a legal-looking image over the 24-bit block limit — that must
+    drop the artwork with a warning, not crash header writing with
+    OverflowError (round-3 review finding)."""
+    import io
+
+    from dsd2dxd_tpu.containers.flac import FlacWriter, _picture_body
+    from dsd2dxd_tpu.formats.id3 import ApicPicture
+
+    # str lengths sum to ~15.5M (< 0xFFFFFF+pad would have passed the old
+    # guard) but the UTF-8 description alone encodes to ~2.4 MiB
+    pic = ApicPicture(3, "image/jpeg", "世" * 800_000,
+                      b"\xff" * (14 * 1024 * 1024))
+    assert len(_picture_body(pic)) > 0xFFFFFF
+    w = FlacWriter(io.BytesIO(), 2, 88200, 24)
+    w._pictures = [pic]
+    w._comments = []
+    w.f = io.BytesIO()
+    w._write_header()  # must not raise; oversized art dropped
+    assert w._pictures == []
+
+
+def test_partial_tile_peak_not_int_magnitude(tmp_path):
+    """_run's returned stream peak is documented linear/post-level; with
+    an int-frames sink (FLAC) and a partial final tile the recompute must
+    NOT replace the kernel's normalized peak with a raw int32 magnitude
+    (round-3 review finding: gate on float output)."""
+    from dsd2dxd_tpu.formats.dsd_types import (
+        DitherType, FilterType, OutputType)
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+    from dsd2dxd_tpu.pipeline.engine import Converter
+
+    planes = synth_tone_dsd(1000.0, 0.11, 2_822_400, amplitude=0.4,
+                            channels=2)
+    src = tmp_path / "p.dsf"
+    write_dsf(src, planes, 2_822_400, lsb_first=True)
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.FLAC, level_db=0.0,
+        output_rate=352800, out_dir=tmp_path, dither=DitherType.TPDF,
+        filt=FilterType.EQUIRIPPLE, append_rate=False, base_dir=tmp_path,
+        input_path=src)
+    frames = []
+    peak = conv._run(None, None, frames.append)
+    assert frames and frames[-1].dtype == np.int32
+    assert 0.0 < peak < 2.0  # normalized, not ~2^23
+
+
+def test_decode_rejects_truncated_picture_block():
+    """A PICTURE block whose declared field lengths overrun its body must
+    raise the decoder's ValueError contract, not struct.error
+    (round-3 review finding)."""
+    x = _tone(6000, 2, 1 << 13, 16)
+    blob = bytearray(encode(x))
+    assert blob[:4] == b"fLaC"
+    # STREAMINFO header: clear the last-block bit, then splice in a lying
+    # PICTURE block (declares a 100-byte body, provides 8) marked last.
+    blob[4] &= 0x7F
+    si_size = int.from_bytes(blob[5:8], "big")
+    insert_at = 8 + si_size
+    bad = bytes([0x80 | 6]) + (100).to_bytes(3, "big") + b"\x00" * 8
+    blob[insert_at:insert_at] = bad
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+
+
 def test_njad_quantizer_basic():
     rng = np.random.default_rng(0)
     x = (0.5 * np.sin(2 * np.pi * np.arange(30000) / 47.3)).astype(np.float32)
