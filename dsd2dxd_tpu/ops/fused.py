@@ -28,6 +28,7 @@ differ from the scipy oracle by design (documented; silence either way).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -253,6 +254,27 @@ def _pm1(inv_word: jax.Array, shift: int) -> jax.Array:
                          jnp.float32)
 
 
+_SIGN = np.int32(np.uint32(0x80000000))
+
+
+def _sgn(inv_word: jax.Array, shift: int) -> jax.Array:
+    """f32 SIGN MASK (0x80000000 / 0) from bit `shift` of the
+    complemented stream word — the unpack="signmask" variant. Two int
+    ops per phase row instead of _pm1's three; stage 0 then applies each
+    coefficient as `bitcast(sign ^ coef_bits)` (an exact IEEE sign flip)
+    instead of a multiply. Per-op the two forms are bit-identical (each
+    stage-0 contribution is exactly ±coef either way — verified by an
+    exhaustive isolated check and a full-cascade numpy replay); end to
+    end the compiled kernels may still differ by 1-2 ulp on scattered
+    samples because changing stage 0's ops shifts XLA's downstream
+    FMA-contraction choices (measured: 3 samples in 2048 on random data,
+    CPU interpret). Net: −1 vector op per unpacked element at equal
+    stage-0 cost; whether that moves the tap-independent per-block floor
+    (CLAUDE.md round-3 decomposition) is decided by an on-chip
+    interleaved A/B (tools/unpackbench.py), not assumed."""
+    return (inv_word << (31 - shift)) & _SIGN
+
+
 def _uniform01(shape):
     """[0, 1) uniform from the on-core PRNG."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
@@ -263,7 +285,7 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                   halo: int, gain: float, c_pad: int, n_blocks: int,
                   groups: int, tail, r_tail: int, batch: int, r_rows: int,
                   emit: str = "frames", out_shift: int = 0, rr: int = 1,
-                  mxu_meta=None):
+                  mxu_meta=None, unpack: str = "bitcast"):
     c_real = cfg.channels
     # Sublane batching: with C < 8 channels the cascade rows waste most
     # of each (8, 128) vector register (measured: C=1/2/4 take the SAME
@@ -292,6 +314,12 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
     extra0 = halo - sum(p.hist_lanes for p in plans) - (tail_need[0] - k_sub)
 
     n_panels = mxu_meta[0] if mxu_meta else 0
+    # unpack="signmask": stage-0 coefficients are applied by XOR against
+    # the sign-mask rows, so precompute their IEEE-754 bit patterns.
+    signmask = unpack == "signmask" and not mxu_meta
+    coef_bits0 = (tuple(
+        tuple(int(np.float32(c).view(np.int32)) for c in rho_terms)
+        for rho_terms in coef_tables[0]) if signmask else None)
 
     def kernel(seed_ref, x_hbm, *refs):
         panel_refs = refs[:n_panels]
@@ -391,7 +419,8 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                 src = inv_g[b_idx // 4] if rr > 1 else inv_g[0]
                 biw = b_idx % 4 if rr > 1 else b_idx
                 shift = 8 * biw + 7 - (p % 8)
-                rows.append(_pm1(src, shift))
+                rows.append(_sgn(src, shift) if signmask
+                            else _pm1(src, shift))
             j_start = 0
         for j, plan in list(enumerate(plans))[j_start:]:
             h = plan.hist_lanes
@@ -403,7 +432,13 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
                     start = (extra0 if j == 0 else 0) + h + t.base
                     sl = jax.lax.slice(rows[t.r_in], (0, start),
                                        (r_rows, start + k_out), (1, 1))
-                    contribs.append(coef_tables[j][rho][t_idx] * sl)
+                    if signmask and j == 0:
+                        # exact ±coef: sign-mask row XOR coef bits
+                        contribs.append(pltpu.bitcast(
+                            sl ^ jnp.int32(coef_bits0[rho][t_idx]),
+                            jnp.float32))
+                    else:
+                        contribs.append(coef_tables[j][rho][t_idx] * sl)
                 new_rows.append(_tree_sum(contribs))
             rows = new_rows
         z = rows[0]  # (R, tail_need[0])
@@ -631,7 +666,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                     interpret: bool = False,
                     jit: bool = True, transpose: bool = True,
                     groups=None, emit: str = "frames", out_shift: int = 0,
-                    mxu: bool | None = None):
+                    mxu: bool | None = None, unpack: str | None = None):
     """Build the fused per-tile step for any chain `fused_plan` covers.
 
     step(x (C, tile_bytes/G) words, halo (C, halo_words) words, seed i32)
@@ -659,7 +694,21 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     `groups` is optional and only asserts the auto-planned group count.
     Tile must be a multiple of block_bytes. Raises ValueError for chains
     the kernel doesn't cover (caller falls back to ops/phase.py).
+
+    ``unpack`` selects the ±1 row construction: "bitcast" (default —
+    _pm1 sign-bit surgery) or "signmask" (_sgn 2-op sign masks with
+    stage-0 coefficients applied by XOR; candidate floor lever, chip
+    A/B in tools/unpackbench.py). None reads DSD2DXD_UNPACK so chip
+    tools can A/B the full engine path without code edits (read at
+    step-build time; set it before the process builds any step).
     """
+    if unpack is None:  # process-stable A/B switch for chip tools
+        unpack = os.environ.get("DSD2DXD_UNPACK", "bitcast")
+    if unpack not in ("bitcast", "signmask"):
+        raise ValueError(f"unknown unpack variant {unpack!r}")
+    if unpack == "signmask" and mxu:
+        raise ValueError("signmask unpack does not apply to the MXU head "
+                         "(its dot needs ±1 values, not sign masks)")
     plans, groups, tail, r_tail, halo_lanes = _fused_layout(chain, groups)
     if cfg.tile_bytes % block_bytes != 0:
         raise ValueError(f"tile {cfg.tile_bytes} not a multiple of "
@@ -723,7 +772,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     )
     kernel = _build_kernel(plans_k, coef_tables, cfg, k_sub, halo_lanes,
                            gain, c_pad, n_blocks, groups, tail, r_tail,
-                           batch, r_rows, emit, out_shift, rr, mxu_meta)
+                           batch, r_rows, emit, out_shift, rr, mxu_meta,
+                           unpack)
     panel_args = [jnp.asarray(p, dtype=jnp.bfloat16) for p in panels_np]
     panel_specs = [
         pl.BlockSpec(p.shape, lambda i, *_: (0, 0),
@@ -905,7 +955,8 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
                              interpret: bool = False, jit: bool = True,
                              emit: str = "frames", out_shift: int = 0,
-                             mxu: bool | None = None):
+                             mxu: bool | None = None,
+                             unpack: str | None = None):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
 
@@ -953,7 +1004,8 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                                    dither=DitherType.NONE, level_db=0.0)
     hstep, halo_bytes = make_fused_step(head, head_cfg, block_bytes,
                                         interpret=interpret, jit=False,
-                                        transpose=False, mxu=mxu)
+                                        transpose=False, mxu=mxu,
+                                        unpack=unpack)
     plan = build_plan(rstage, p_in=1)
     r_head = 1
     for s in head:

@@ -814,3 +814,98 @@ def test_kernel_covers_implies_buildable():
                          emit="planes", out_shift=4 if depth == 20 else 0)
                 n_built += 1
     assert n_built > 100  # 22 cells x ~6 covered combos
+
+
+SIGNMASK_CONFIGS = [
+    # (rate, out_hz, block, tile, bit_depth) — shallow G=1, word-group
+    # G=4, and a deep à-trous tail; float exposes sub-LSB deviations,
+    # int covers the production quantized path.
+    (DsdRate.DSD64, 352800, 2048, 8192, 24),    # G=1 shallow, int
+    (DsdRate.DSD256, 352800, 2048, 8192, 32),   # G=4 word lanes, float
+    (DsdRate.DSD128, 88200, 2048, 8192, 32),    # ÷64: à-trous tail
+]
+
+
+@pytest.mark.parametrize("rate,out_hz,block,tile,bit_depth",
+                         SIGNMASK_CONFIGS)
+def test_signmask_unpack_matches_bitcast(rate, out_hz, block, tile,
+                                         bit_depth):
+    """unpack="signmask" (2-op sign-mask rows + stage-0 XOR coefficient
+    application) against the default bitcast ±1 unpack. Per-op the two
+    are exact (every stage-0 contribution is ±coef either way — see
+    _sgn), but the compiled kernels may differ by a couple of ulps on
+    scattered samples because the stage-0 graph change shifts XLA's
+    downstream FMA-contraction choices. So: float compares at a few-ulp
+    relative tolerance, int at ≤1 LSB."""
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=bit_depth,
+                     dither=DitherType.NONE, level_db=-1.0)
+    s_a, halo = make_fused_step(chain, cfg, block_bytes=block,
+                                interpret=True)
+    s_b, halo_b = make_fused_step(chain, cfg, block_bytes=block,
+                                  interpret=True, unpack="signmask")
+    assert halo == halo_b
+    g = fused_plan(chain)[1]
+    rng = np.random.default_rng(11)
+    h_a = jnp.asarray(init_fused_halo(chain, 2))
+    h_b = h_a
+    for t in range(2):
+        x = prep_input(rng.integers(0, 256, size=(2, tile),
+                                    dtype=np.uint8), g)
+        oa, pa, h_a = s_a(x, h_a, t)
+        ob, pb, h_b = s_b(x, h_b, t)
+        oa, ob = np.asarray(oa), np.asarray(ob)
+        if bit_depth == 32:
+            np.testing.assert_allclose(ob, oa, rtol=1e-6, atol=1e-9)
+            assert abs(float(pa) - float(pb)) <= 1e-6 * max(float(pa), 1e-9)
+        else:
+            assert np.max(np.abs(oa.astype(np.int64)
+                                 - ob.astype(np.int64))) <= 1
+            assert abs(float(pa) - float(pb)) <= 1e-6
+
+
+def test_signmask_rational_head():
+    """The rational builder forwards unpack= to its fused head; the tail
+    and epilogue are shared XLA code, so outputs agree to the same
+    contraction jitter (dither runs in the XLA epilogue — exercisable on
+    CPU, unlike the in-kernel PRNG)."""
+    from dsd2dxd_tpu.ops.fused import (
+        fused_rational_plan,
+        init_fused_rational_state,
+        make_fused_rational_step,
+    )
+
+    rate, out_hz, block, tile = DsdRate.DSD64, 384000, 2688, 18816
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    cfg = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    s_a, _ = make_fused_rational_step(chain, cfg, block_bytes=block,
+                                      interpret=True)
+    s_b, _ = make_fused_rational_step(chain, cfg, block_bytes=block,
+                                      interpret=True, unpack="signmask")
+    g = fused_plan(chain[:fused_rational_plan(chain)])[1]
+    rng = np.random.default_rng(12)
+    # the jitted step donates its state: each variant needs its own
+    h, hist = init_fused_rational_state(chain, 2)
+    st_a = (jnp.asarray(h), hist)
+    h2, hist2 = init_fused_rational_state(chain, 2)
+    st_b = (jnp.asarray(h2), hist2)
+    for t in range(2):
+        x = prep_input(rng.integers(0, 256, size=(2, tile),
+                                    dtype=np.uint8), g)
+        oa, pa, st_a = s_a(x, st_a, t)
+        ob, pb, st_b = s_b(x, st_b, t)
+        assert np.max(np.abs(np.asarray(oa).astype(np.int64)
+                             - np.asarray(ob).astype(np.int64))) <= 1
+
+
+def test_signmask_rejects_mxu_and_unknown():
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    cfg = StepConfig(channels=2, tile_bytes=8192, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    with pytest.raises(ValueError, match="MXU"):
+        make_fused_step(chain, cfg, block_bytes=2048, interpret=True,
+                        mxu=True, unpack="signmask")
+    with pytest.raises(ValueError, match="unpack"):
+        make_fused_step(chain, cfg, block_bytes=2048, interpret=True,
+                        unpack="nope")

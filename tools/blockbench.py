@@ -37,10 +37,12 @@ def main() -> int:
     ap.add_argument("--mxu", choices=["on", "off"], default="off",
                     help="MXU head on eligible cells (A/B vs slice-FMA; "
                          "chip bake-off was a wash, default off)")
-    ap.add_argument("--unpack", choices=["bitcast", "legacy"],
+    ap.add_argument("--unpack", choices=["bitcast", "legacy", "signmask"],
                     default="bitcast",
-                    help="A/B the ±1 unpack: sign-bit surgery vs "
-                         "shift/and/convert/mul/add")
+                    help="±1 unpack variant: bitcast sign-bit surgery "
+                         "(default), legacy shift/and/convert/mul/add, or "
+                         "signmask (2-op rows + stage-0 XOR; interleaved "
+                         "A/B lives in tools/unpackbench.py)")
     args = ap.parse_args()
     mxu = args.mxu == "on"
 
@@ -89,10 +91,11 @@ def main() -> int:
                 print(f"  block={bb:>7}: tile not divisible, skip")
                 continue
             try:
+                unpack = "signmask" if args.unpack == "signmask" else None
                 if rational:
                     step, halo_b, _layout = fused.make_fused_rational_step(
                         chain, cfg, block_bytes=bb, emit="planes",
-                        mxu=mxu)
+                        mxu=mxu, unpack=unpack)
                     n_head = fused.fused_rational_plan(chain)
                     g = fused.fused_plan(chain[:n_head])[1]
 
@@ -102,7 +105,7 @@ def main() -> int:
                 else:
                     step, halo_b, _layout = fused.make_fused_step(
                         chain, cfg, block_bytes=bb, emit="planes",
-                        mxu=mxu)
+                        mxu=mxu, unpack=unpack)
                     g = fused.fused_plan(chain)[1]
 
                     def make_state(chain=chain):

@@ -1,0 +1,135 @@
+"""On-chip interleaved A/B of the fused kernel's unpack variants.
+
+unpack="bitcast" (_pm1: 3 int ops/row, stage-0 multiply) vs
+unpack="signmask" (_sgn: 2 int ops/row, stage-0 XOR sign-flip) — see
+ops/fused.py. The round-3 floor decomposition pinned the per-block
+floor in tap-independent per-lane work (8G-row unpack + layout +
+epilogue), so −1 op per unpacked element is a direct attack on it;
+this tool decides whether it lands.
+
+Both variants are built in ONE process and timed in alternating
+pairs (A,B,A,B,...) with the median-of-pairs ratio reported — the only
+trustworthy protocol on this box (clock flutters ±40%; device-only
+numbers still vary ~±8% through the tunnel).
+
+    python tools/unpackbench.py [--cells DSD512:352800,...] [--pairs 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import statistics
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+# floor-bound cells first (the lever's target), one shallow control
+CELLS = [
+    ("DSD512", 352800), ("DSD256", 192000), ("DSD256", 352800),
+    ("DSD64", 88200), ("DSD64", 352800),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", default=None)
+    ap.add_argument("--pairs", type=int, default=7)
+    ap.add_argument("--tile-mib", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsd2dxd_tpu.filters.design import get_chain
+    from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.ops.resample import StepConfig
+    from dsd2dxd_tpu.pipeline.engine import _tile_bytes_for
+    from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
+
+    if jax.default_backend() != "tpu":
+        print(f"ERROR: backend is {jax.default_backend()}", file=sys.stderr)
+        return 2
+
+    cells = CELLS
+    if args.cells:
+        cells = [(n, int(o)) for n, o in
+                 (c.split(":") for c in args.cells.split(","))]
+    rng = np.random.default_rng(0)
+    digest = jax.jit(lambda p: jnp.stack(
+        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
+
+    for rate_name, out_hz in cells:
+        rate = DsdRate[rate_name]
+        chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+        bb = fused.pick_block_bytes(chain, rate.hz)
+        big = _tile_bytes_for(chain, args.tile_mib * 1024 * 1024, rate.hz)
+        cfg = StepConfig(channels=2, tile_bytes=big, bit_depth=24,
+                         dither=DitherType.TPDF, level_db=0.0)
+        rational = fused.fused_plan(chain) is None
+        steps = {}
+        try:
+            for variant in ("bitcast", "signmask"):
+                if rational:
+                    step, _h, _l = fused.make_fused_rational_step(
+                        chain, cfg, block_bytes=bb, emit="planes",
+                        unpack=variant)
+                    n_head = fused.fused_rational_plan(chain)
+                    g = fused.fused_plan(chain[:n_head])[1]
+
+                    def make_state(chain=chain):
+                        h, hist = fused.init_fused_rational_state(chain, 2)
+                        return (jnp.asarray(h), hist)
+                else:
+                    step, _h, _l = fused.make_fused_step(
+                        chain, cfg, block_bytes=bb, emit="planes",
+                        unpack=variant)
+                    g = fused.fused_plan(chain)[1]
+
+                    def make_state(chain=chain):
+                        return jnp.asarray(fused.init_fused_halo(chain, 2))
+                steps[variant] = step
+        except ValueError as e:
+            print(f"{rate_name}->{out_hz}: build failed: {e}")
+            continue
+        tiles = [chunked_device_put(fused.prep_input(
+            rng.integers(0, 256, size=(2, big), dtype=np.uint8), g))
+            for _ in range(6)]
+        jax.block_until_ready(tiles)
+
+        def run(step):
+            state = make_state()
+            t0 = time.perf_counter()
+            ds = []
+            for i, xt in enumerate(tiles):
+                out, pk, state = step(xt, state, i)
+                ds.append(digest(out))
+            np.asarray(jnp.stack(ds).sum(axis=0))
+            return time.perf_counter() - t0
+
+        # warm both compiles, then interleaved pairs
+        run(steps["bitcast"]); run(steps["signmask"])
+        ratios, ta_all, tb_all = [], [], []
+        for _ in range(args.pairs):
+            ta = run(steps["bitcast"])
+            tb = run(steps["signmask"])
+            ratios.append(ta / tb)
+            ta_all.append(ta)
+            tb_all.append(tb)
+        audio = len(tiles) * big * 8 / rate.hz
+        med = statistics.median(ratios)
+        print(f"{rate_name}->{out_hz} block={bb} "
+              f"({'rational' if rational else 'plain'}): "
+              f"bitcast {audio / min(ta_all):6.0f}x  "
+              f"signmask {audio / min(tb_all):6.0f}x  "
+              f"speedup median {med:.3f} "
+              f"(pairs: {' '.join(f'{r:.3f}' for r in ratios)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
