@@ -41,26 +41,46 @@ struct NjadState {
   ChannelState ch[16];
 };
 
-// Integer fast path for the quantize loop (candidates are whole
-// numbers): one table-guided divide instead of a divide-per-decade loop.
-int leading_digit_ll(long long v) {
-  unsigned long long a = v < 0 ? 0ull - (unsigned long long)(v) : (unsigned long long)(v);
-  if (a == 0) return 0;
-  static const unsigned long long p10[20] = {
-      1ull, 10ull, 100ull, 1000ull, 10000ull, 100000ull, 1000000ull,
-      10000000ull, 100000000ull, 1000000000ull, 10000000000ull,
-      100000000000ull, 1000000000000ull, 10000000000000ull,
-      100000000000000ull, 1000000000000000ull, 10000000000000000ull,
-      100000000000000000ull, 1000000000000000000ull,
-      10000000000000000000ull};
-  int bl = 63 - __builtin_clzll(a);
-  // Hacker's Delight digit-count estimate: (bl+1)*log10(2) rounded UP
-  // by construction, so the correction below only ever decrements once.
-  // (The old bl*1233>>12 form underestimated: leading_digit_ll(10) was
-  // 10, indexing counts[10..19] out of bounds.)
-  int g = ((bl + 1) * 1233) >> 12;
-  if (a < p10[g]) --g;
-  return int(a / p10[g]);  // 1..9 by construction
+const unsigned long long kP10[20] = {
+    1ull, 10ull, 100ull, 1000ull, 10000ull, 100000ull, 1000000ull,
+    10000000ull, 100000000ull, 1000000000ull, 10000000000ull,
+    100000000000ull, 1000000000000ull, 10000000000000ull,
+    100000000000000ull, 1000000000000000ull, 10000000000000000ull,
+    100000000000000000ull, 1000000000000000000ull,
+    10000000000000000000ull};
+
+// Leading digits of BOTH quantization candidates (lo and lo+1) from one
+// integer divide: digit(lo) = q of a = q*p10[g] + r, and digit(lo+1)
+// only differs from q when the increment crosses a digit boundary —
+// |lo+1| is a+1 for lo >= 0 (boundary at r+1 == p10[g]) and a-1 for
+// lo < 0 (boundary at r == 0). The compiler derives q and r from a
+// single division instruction. The decade index g uses the Hacker's
+// Delight digit-count estimate (bl+1)*log10(2), which rounds UP by
+// construction so the correction only ever decrements once (the old
+// bl*1233>>12 form underestimated: digit(10) came out as 10, indexing
+// the histogram out of bounds).
+void digit_pair(long long lo, int* dlo, int* dhi) {
+  if (lo >= 0) {
+    unsigned long long a = (unsigned long long)lo;
+    if (a == 0) { *dlo = 0; *dhi = 1; return; }
+    int bl = 63 - __builtin_clzll(a);
+    int g = ((bl + 1) * 1233) >> 12;
+    if (a < kP10[g]) --g;
+    unsigned long long q = a / kP10[g], r = a % kP10[g];
+    *dlo = int(q);
+    if (r + 1 < kP10[g]) *dhi = int(q);           // no boundary crossed
+    else *dhi = q == 9 ? 1 : int(q + 1);          // 199->200, 999->1000
+  } else {
+    unsigned long long a = 0ull - (unsigned long long)lo;  // a >= 1
+    if (a == 1) { *dlo = 1; *dhi = 0; return; }   // hi == 0
+    int bl = 63 - __builtin_clzll(a);
+    int g = ((bl + 1) * 1233) >> 12;
+    if (a < kP10[g]) --g;
+    unsigned long long q = a / kP10[g], r = a % kP10[g];
+    *dlo = int(q);
+    if (r != 0) *dhi = int(q);                    // |hi| = a-1, same decade
+    else *dhi = q == 1 ? 9 : int(q - 1);          // -100->-99, -200->-199
+  }
 }
 
 // Distance of the histogram (with candidate digit d added) from Benford.
@@ -113,23 +133,25 @@ DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
       ChannelState& cs = st->ch[c];
       double x = double(in[i * channels + c]) * scale;
       double lo = std::floor(x), hi = lo + 1.0;
-      int dlo = leading_digit_ll((long long)lo);
-      int dhi = leading_digit_ll((long long)hi);
+      int dlo, dhi;
+      digit_pair((long long)lo, &dlo, &dhi);
       double pick;
       int dpick;
       if (dlo > 0 && dhi > 0) {
-        // both candidates add one count, so the normalizing total is the
-        // same and the argmin survives scaling by it: compare
-        // S(d) = sum_i |c_i - b_i*(T+1) + [i==d]| — no per-digit division
+        // Both candidates add one count, so the normalizing total is
+        // the same and the argmin survives scaling by it: compare
+        // S(d) = sum_k |c_k - b_k*(T+1) + [k==d]|. The shared sum
+        // s0 = sum_k |e_k| then CANCELS from slo <= shi, leaving only
+        // each candidate's own term: |e+1| - |e|, which is exactly
+        // clamp(2e+1, -1, 1) — two error terms per sample instead of
+        // nine (same decision up to ~1-ulp rounding; the oracle test's
+        // tie arbiter covers that band).
         double tp = cs.total + 1.0;
-        double e[10], s0 = 0.0;
-        for (int k = 1; k <= 9; ++k) {
-          e[k] = cs.counts[k] - kBenford[k] * tp;
-          s0 += std::fabs(e[k]);
-        }
-        double slo = s0 - std::fabs(e[dlo]) + std::fabs(e[dlo] + 1.0);
-        double shi = s0 - std::fabs(e[dhi]) + std::fabs(e[dhi] + 1.0);
-        if (slo <= shi) { pick = lo; dpick = dlo; }
+        double elo = cs.counts[dlo] - kBenford[dlo] * tp;
+        double ehi = cs.counts[dhi] - kBenford[dhi] * tp;
+        double glo = elo >= 0.0 ? 1.0 : (elo <= -1.0 ? -1.0 : 2.0 * elo + 1.0);
+        double ghi = ehi >= 0.0 ? 1.0 : (ehi <= -1.0 ? -1.0 : 2.0 * ehi + 1.0);
+        if (glo <= ghi) { pick = lo; dpick = dlo; }
         else { pick = hi; dpick = dhi; }
       } else if (score(cs, dlo) <= score(cs, dhi)) {
         pick = lo; dpick = dlo;
