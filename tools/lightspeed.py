@@ -1,0 +1,215 @@
+"""Speed-of-light model for every rate-matrix cell (host-side analysis).
+
+For each (DSD rate -> PCM rate) cell of SURVEY.md §2.5 this computes,
+from the actual compiled layout (fused plans, block size, halo, sublane
+batch), the analytic performance bounds of the single-pass kernel on a
+TPU v5e core and compares them to the measured on-chip numbers
+(BENCH_r03_local.json). It answers "how far from speed-of-light is this
+cell, and which wall is it standing against?" without needing the chip.
+
+Components modeled per audio-second (stereo, 24-bit planes):
+
+- ``hbm``     — pure memory: (input bytes x halo-redundancy + output
+                wire bytes) at HBM bandwidth. The absolute ceiling;
+                every cell is >50x away from it — this workload is
+                overhead- and issue-bound, not bandwidth-bound.
+- ``floor``   — the measured tap-independent cost of moving one input
+                byte through the kernel (block DMA + 8G-row unpack +
+                Mosaic op/layout overhead + epilogue structure):
+                5.7 us per 16 KiB of per-channel input, measured on
+                chip with a minimal-taps chain (round 3, CLAUDE.md),
+                split ~89% per-byte / ~11% per-block from the 16->64 KiB
+                grid-block A/B. NOTE: predates the bitcast/signmask
+                unpack variants — cells measured after those land at
+                up to ~130% of the model until the queued floorprof
+                run recalibrates the constant.
+- ``fir``     — FIR work alone: exact slice-FMA element counts from the
+                phase plans via the kernel's own need[] recursion +
+                undecimated a-trous tail elements + epilogue, at the
+                VPU's ~0.96e12 vector elements/s (8 sublanes x 128
+                lanes x ~0.94 GHz). Rational cells add their x160/147
+                MXU tail at MXU rate; the tail's XLA dispatch overhead
+                is NOT modeled, which is exactly why rational cells
+                measure 40-90% of model — that gap IS the overhead.
+- ``model``   — floor + fir, serial. ``floor%`` is the floor's share of
+                model time: high means round-4 effort belongs on
+                per-lane overheads, low means on FMA reduction.
+
+Usage: python tools/lightspeed.py [--json out.json]
+
+Pure host-side: pins JAX to CPU; only filter design (cached) and plan
+construction run. Reference behavior being modeled: the §2.5 rate
+matrix (/root/reference/src/main.rs:85-96).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from dsd2dxd_tpu.filters.design import get_chain  # noqa: E402
+from dsd2dxd_tpu.formats.dsd_types import DsdRate, FilterType  # noqa: E402
+from dsd2dxd_tpu.ops import fused  # noqa: E402
+
+# ---- hardware constants (TPU v5e, one core) -------------------------------
+HBM_BW = 819e9          # bytes/s, v5e public spec
+VPU_ELEMS = 0.96e12     # vector elements/s: 8 sublanes x 128 lanes x ~0.94 GHz
+FLOOR_S_PER_BYTE = 5.7e-6 / 16384  # measured minimal-taps kernel cost
+UNPACK_OPS = 3          # bitcast unpack: int ops per stream bit (default)
+EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
+
+CHANNELS = 2
+OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
+
+# Measured on-chip xRT (BENCH_r03_local rate_matrix_device_xrt, with the
+# three cells re-measured after the late-round floor levers patched in —
+# see that file's late_round3_floor_levers note).
+_LATE_R3 = {("DSD512", 352800): 560, ("DSD256", 352800): 1400,
+            ("DSD256", 192000): 700}
+
+
+def _measured() -> dict:
+    p = Path(__file__).resolve().parent.parent / "BENCH_r03_local.json"
+    if not p.exists():
+        return {}
+    m = json.loads(p.read_text()).get("rate_matrix_device_xrt", {})
+    out = {}
+    for rate, cells in m.items():
+        if not isinstance(cells, dict):
+            continue
+        for hz, xrt in cells.items():
+            out[(rate, int(hz))] = _LATE_R3.get((rate, int(hz)), xrt)
+    return out
+
+
+def cell_model(rate: DsdRate, out_hz: int) -> dict:
+    """Analytic bounds for one cell; all times are s per audio-second."""
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    in_hz = rate.hz
+    plan = fused.fused_plan(chain)
+    rational = plan is None
+    if rational:
+        n_head = fused.fused_rational_plan(chain)
+        head_chain = list(chain)[:n_head]
+        plan = fused.fused_plan(head_chain)
+    else:
+        n_head = len(chain)
+        head_chain = list(chain)
+    n_fused, groups, r_tail = plan
+    plans, g, tail, _rt, halo_lanes = fused._fused_layout(head_chain)
+    block_bytes = fused.pick_block_bytes(chain, in_hz)
+    block_lanes = block_bytes // g
+    batch = fused.sublane_batch(CHANNELS, block_lanes, r_tail)
+    k_sub = block_lanes // batch
+    # each sub-block re-reads halo_lanes of context
+    redundancy = (halo_lanes + k_sub) / k_sub
+
+    in_bytes = in_hz / 8 * CHANNELS                  # stream bytes/audio-s
+    out_bytes = out_hz * OUT_BYTES_PER_SAMPLE * CHANNELS
+
+    # -- exact per-sub-block lane accounting (mirrors _build_kernel) --------
+    # Each sub-block produces k_sub word lanes of final head output and
+    # must over-produce upstream: stage j emits need[j] lanes per phase,
+    # the tail consumes tail_need lanes undecimated.
+    tail_need = [k_sub]
+    for taps, d in reversed(list(tail)):
+        tail_need.insert(0, tail_need[0] + (len(taps) - 1) * d)
+    need = [tail_need[0]]
+    for p in reversed(list(plans)[1:]):
+        need.insert(0, need[0] + p.hist_lanes)
+    subblocks_per_s = (in_hz / 8) / block_bytes * batch
+
+    # unpack: 8G phase rows over the sub-block window incl. halo
+    unpack_elems = 8 * g * (halo_lanes + k_sub) * UNPACK_OPS
+    # head stages: each (phase, lane) output accumulates len(terms[rho])
+    # FMAs; stage j emits p_out x need[j]
+    fir_elems = 0.0
+    for p, n in zip(plans, need):
+        fir_elems += sum(len(t) for t in p.terms) * n
+    # a-trous tail: stage t emits tail_need[t+1] lanes, taps FMAs each
+    for (taps, _d), n in zip(tail, tail_need[1:]):
+        fir_elems += len(taps) * n
+    unpack = unpack_elems * subblocks_per_s * CHANNELS
+    fma = fir_elems * subblocks_per_s * CHANNELS
+    epilogue = out_hz * CHANNELS * EPILOGUE_OPS
+
+    # rational cells: the x160/147 banded-natural tail is one dense
+    # (160, 164) einsum per 160 outputs on the MXU (Precision.HIGHEST =
+    # 6 bf16 passes). Modeled at MXU rate; its XLA dispatch/fusion
+    # overhead is NOT modeled — rational cells' gap to the model is
+    # dominated by exactly that overhead.
+    MXU_MACS = 98.5e12  # v5e ~197 TFLOPS bf16
+    t_mxu = (out_hz * 164 * 6 * CHANNELS) / MXU_MACS if rational else 0.0
+
+    t_hbm = (in_bytes * redundancy + out_bytes) / HBM_BW
+    # floor: a per-byte part + a small per-block part (the 16->64 KiB
+    # block A/B moved deep cells 11-15%, so ~11% of the 16 KiB cost is
+    # per-block): 5.7us = a*16384B + b, a = 5.07us/16KiB, b = 0.63us.
+    n_blocks_per_s = (in_hz / 8) / block_bytes
+    t_floor = (in_hz / 8) * (5.07e-6 / 16384) + n_blocks_per_s * 0.63e-6
+    t_vpu = (unpack + fma + epilogue) / VPU_ELEMS + t_mxu
+    t_fir = (fma + epilogue) / VPU_ELEMS + t_mxu  # floor already has unpack
+    return {
+        "rational": rational,
+        "groups": g,
+        "block_bytes": block_bytes,
+        "redundancy": round(redundancy, 3),
+        "fma_elems_per_s": int(fma),
+        "xrt_hbm": 1.0 / t_hbm,
+        "xrt_floor": 1.0 / t_floor,
+        "xrt_fir": 1.0 / t_fir,
+        "xrt_vpu": 1.0 / t_vpu,
+        "xrt_model": 1.0 / (t_floor + t_fir),
+        "floor_share": t_floor / (t_floor + t_fir),
+    }
+
+
+CELLS = [
+    (DsdRate.DSD64, [88200, 96000, 176400, 192000, 352800, 384000]),
+    (DsdRate.DSD128, [88200, 96000, 176400, 192000, 352800, 384000,
+                      705600]),
+    (DsdRate.DSD256, [88200, 96000, 176400, 192000, 352800, 384000,
+                      705600, 1411200]),
+    (DsdRate.DSD512, [352800]),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", type=Path, default=None,
+                    help="also write the full model as JSON")
+    args = ap.parse_args()
+    measured = _measured()
+    rows = []
+    print(f"{'cell':>18} {'meas':>6} {'model':>6} {'%model':>6} "
+          f"{'floor':>7} {'fir':>7} {'hbm':>8}  floor%")
+    for rate, outs in CELLS:
+        for hz in outs:
+            m = cell_model(rate, hz)
+            meas = measured.get((rate.name, hz))
+            pct = f"{100 * meas / m['xrt_model']:.0f}%" if meas else "-"
+            tag = " (tail unmodeled)" if m["rational"] else ""
+            print(f"{rate.name:>8}->{hz / 1000:>7.1f}k "
+                  f"{meas or '-':>6} {m['xrt_model']:>6.0f} {pct:>6} "
+                  f"{m['xrt_floor']:>7.0f} {m['xrt_fir']:>7.0f} "
+                  f"{m['xrt_hbm']:>8.0f}  {m['floor_share']:>5.0%}{tag}")
+            rows.append({"cell": f"{rate.name}->{hz}", "measured": meas,
+                         **m})
+    if args.json:
+        args.json.write_text(json.dumps({
+            "constants": {"hbm_bw": HBM_BW, "vpu_elems": VPU_ELEMS,
+                          "floor_s_per_byte": FLOOR_S_PER_BYTE},
+            "cells": rows}, indent=1))
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
