@@ -34,6 +34,14 @@ const double kBenford[10] = {0.0,
 struct ChannelState {
   double counts[10];
   double total;
+  // Near-silence memo: when a candidate is 0 (lo == 0 or lo == -1) the
+  // floor/ceil decision depends ONLY on the histogram, not on x — so a
+  // digital-silence run re-decides identically every sample. Memoize
+  // per case, keyed on a version stamp bumped at every histogram
+  // change. Pure memoization: decisions (and output) are bit-identical.
+  uint64_t version;
+  uint64_t memo_version[2];  // [0]: lo == 0, [1]: lo == -1
+  bool memo_take_lo[2];
 };
 
 struct NjadState {
@@ -114,6 +122,8 @@ DSDKIT_API void* dsdkit_njad_new(uint32_t channels) {
   for (uint32_t c = 0; c < channels; ++c) {
     for (int i = 0; i < 10; ++i) st->ch[c].counts[i] = 0.0;
     st->ch[c].total = 0.0;
+    st->ch[c].version = 1;
+    st->ch[c].memo_version[0] = st->ch[c].memo_version[1] = 0;
   }
   return st;
 }
@@ -153,14 +163,28 @@ DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
         double ghi = ehi >= 0.0 ? 1.0 : (ehi <= -1.0 ? -1.0 : 2.0 * ehi + 1.0);
         if (glo <= ghi) { pick = lo; dpick = dlo; }
         else { pick = hi; dpick = dhi; }
-      } else if (score(cs, dlo) <= score(cs, dhi)) {
-        pick = lo; dpick = dlo;
       } else {
-        pick = hi; dpick = dhi;
+        // A candidate is 0 (lo is 0 or -1): the full two-score compare
+        // depends only on the histogram — memoized per case on the
+        // state version. Once a silence run settles on emitting 0
+        // (dpick == 0, state frozen), every following sample is a memo
+        // hit.
+        int icase = dlo == 0 ? 0 : 1;
+        bool take_lo;
+        if (cs.memo_version[icase] == cs.version) {
+          take_lo = cs.memo_take_lo[icase];
+        } else {
+          take_lo = score(cs, dlo) <= score(cs, dhi);
+          cs.memo_version[icase] = cs.version;
+          cs.memo_take_lo[icase] = take_lo;
+        }
+        if (take_lo) { pick = lo; dpick = dlo; }
+        else { pick = hi; dpick = dhi; }
       }
       if (dpick > 0) {
         cs.counts[dpick] += 1.0;
         cs.total += 1.0;
+        ++cs.version;
         if (cs.total > 1024.0) {  // decay so the histogram stays adaptive
           for (int k = 1; k <= 9; ++k) cs.counts[k] *= 0.5;
           cs.total *= 0.5;
