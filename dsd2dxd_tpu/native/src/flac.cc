@@ -1412,6 +1412,12 @@ DSDKIT_API void* dsdkit_flac_new(uint32_t rate, uint32_t channels,
   // opt-in. Read per encoder so one process can A/B orders.
   if (const char* oenv = getenv("DSDKIT_FLAC_ORDER")) {
     long v = strtol(oenv, nullptr, 10);
+    // caps 9-15 snap up to the next AVX2 autocorrelation template
+    // (8/12/16): the selector can still pick any lower order per
+    // block, but a 9-11/13-15 cap would silently fall off the
+    // vectorized analysis path and encode SLOWER than the next cap up.
+    if (v > 8 && v < 12) v = 12;
+    else if (v > 12 && v < 16) v = 16;
     if (v >= 1 && v <= 16) e->max_order = int(v);
   }
   return e;

@@ -223,7 +223,6 @@ def test_lpc_order_selection(monkeypatch):
 
     from scipy import signal
 
-    rng = np.random.default_rng(11)
     n = 60000
 
     def ar_material(poles, seed):

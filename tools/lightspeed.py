@@ -62,31 +62,55 @@ from dsd2dxd_tpu.ops import fused  # noqa: E402
 # ---- hardware constants (TPU v5e, one core) -------------------------------
 HBM_BW = 819e9          # bytes/s, v5e public spec
 VPU_ELEMS = 0.96e12     # vector elements/s: 8 sublanes x 128 lanes x ~0.94 GHz
-FLOOR_S_PER_BYTE = 5.7e-6 / 16384  # measured minimal-taps kernel cost
+# Measured minimal-taps kernel cost: 5.7 us per 16 KiB grid block,
+# split ~89% per-byte / ~11% per-block by the 16->64 KiB block A/B
+# (CLAUDE.md). Recalibrate BOTH from the queued floorprof run.
+FLOOR_S_PER_BYTE = 5.07e-6 / 16384
+FLOOR_S_PER_BLOCK = 0.63e-6
 UNPACK_OPS = 3          # bitcast unpack: int ops per stream bit (default)
 EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 
 CHANNELS = 2
 OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
 
-# Measured on-chip xRT (BENCH_r03_local rate_matrix_device_xrt, with the
-# three cells re-measured after the late-round floor levers patched in —
-# see that file's late_round3_floor_levers note).
-_LATE_R3 = {("DSD512", 352800): 560, ("DSD256", 352800): 1400,
-            ("DSD256", 192000): 700}
-
-
 def _measured() -> dict:
+    """Measured on-chip xRT per cell: the rate matrix, lifted by any
+    same-run late-lever A/B arm for that cell (the matrix predates the
+    late round-3 floor levers — see BENCH_r03_local's
+    late_round3_floor_levers). max() means a refreshed matrix
+    automatically supersedes the lever arms."""
     p = Path(__file__).resolve().parent.parent / "BENCH_r03_local.json"
     if not p.exists():
         return {}
-    m = json.loads(p.read_text()).get("rate_matrix_device_xrt", {})
+    bench = json.loads(p.read_text())
     out = {}
-    for rate, cells in m.items():
+    for rate, cells in bench.get("rate_matrix_device_xrt", {}).items():
         if not isinstance(cells, dict):
             continue
         for hz, xrt in cells.items():
-            out[(rate, int(hz))] = _LATE_R3.get((rate, int(hz)), xrt)
+            out[(rate, int(hz))] = xrt
+    for lever in bench.get("late_round3_floor_levers", {}).values():
+        if not isinstance(lever, dict):
+            continue
+        for cell, arms in lever.items():
+            if not isinstance(arms, dict):
+                continue
+            parts = cell.split("_")
+            rate, hz = parts[0], int(parts[1])
+            # keys may encode the arm's grid-block size (e.g. "_64k");
+            # only count arms measured AT the production block size —
+            # exploratory block configs are not the engine path.
+            blk = next((int(p[:-1]) * 1024 for p in parts[2:]
+                        if p.endswith("k") and p[:-1].isdigit()), None)
+            if blk is not None:
+                chain = get_chain(FilterType.EQUIRIPPLE, DsdRate[rate], hz)
+                if blk != fused.pick_block_bytes(chain, DsdRate[rate].hz):
+                    continue
+            best = max(v for k, v in arms.items()
+                       if isinstance(v, (int, float)) and k != "legacy")
+            key = (rate, hz)
+            if key in out:
+                out[key] = max(out[key], best)
     return out
 
 
@@ -98,8 +122,17 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     rational = plan is None
     if rational:
         n_head = fused.fused_rational_plan(chain)
+        if n_head is None:
+            raise ValueError(
+                f"{rate.name}->{out_hz}: chain is neither plain-fused "
+                f"nor rational-head eligible; the kernel model does not "
+                f"apply")
         head_chain = list(chain)[:n_head]
         plan = fused.fused_plan(head_chain)
+        if plan is None:
+            raise ValueError(
+                f"{rate.name}->{out_hz}: rational head is not "
+                f"kernel-eligible")
     else:
         n_head = len(chain)
         head_chain = list(chain)
@@ -150,11 +183,8 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     t_mxu = (out_hz * 164 * 6 * CHANNELS) / MXU_MACS if rational else 0.0
 
     t_hbm = (in_bytes * redundancy + out_bytes) / HBM_BW
-    # floor: a per-byte part + a small per-block part (the 16->64 KiB
-    # block A/B moved deep cells 11-15%, so ~11% of the 16 KiB cost is
-    # per-block): 5.7us = a*16384B + b, a = 5.07us/16KiB, b = 0.63us.
     n_blocks_per_s = (in_hz / 8) / block_bytes
-    t_floor = (in_hz / 8) * (5.07e-6 / 16384) + n_blocks_per_s * 0.63e-6
+    t_floor = (in_hz / 8) * FLOOR_S_PER_BYTE + n_blocks_per_s * FLOOR_S_PER_BLOCK
     t_vpu = (unpack + fma + epilogue) / VPU_ELEMS + t_mxu
     t_fir = (fma + epilogue) / VPU_ELEMS + t_mxu  # floor already has unpack
     return {
@@ -206,7 +236,8 @@ def main() -> None:
     if args.json:
         args.json.write_text(json.dumps({
             "constants": {"hbm_bw": HBM_BW, "vpu_elems": VPU_ELEMS,
-                          "floor_s_per_byte": FLOOR_S_PER_BYTE},
+                          "floor_s_per_byte": FLOOR_S_PER_BYTE,
+                          "floor_s_per_block": FLOOR_S_PER_BLOCK},
             "cells": rows}, indent=1))
         print(f"wrote {args.json}")
 
