@@ -209,6 +209,37 @@ def test_compression_ratio_floor(tmp_path):
     assert r_pink < 0.75, r_pink
 
 
+@pytest.mark.parametrize("bps,channels,block,kind", [
+    (4, 1, 16, "tone"),        # spec floor bps + minimum block size
+    (8, 3, 192, "mixed"),      # odd channel count, tiny blocks
+    (12, 5, 1152, "noise"),    # odd bps, 5ch
+    (17, 7, 4096, "mixed"),    # non-byte-aligned bps, 7ch
+    (23, 2, 32768, "tone"),    # maximum block size
+    (24, 8, 576, "noise"),     # max channels, small blocks
+])
+def test_roundtrip_parameter_corners(bps, channels, block, kind):
+    """Seeded sweep over encoder-contract corners the targeted tests
+    don't hit (odd bit depths, odd channel counts, spec-floor and
+    spec-ceiling block sizes): every combination must round-trip
+    bit-exactly with a passing MD5 through the oracle decoder."""
+    rng = np.random.default_rng(bps * 100 + channels)
+    n = 3 * block + 257  # several blocks + a ragged tail
+    lim = 1 << (bps - 1)
+    if kind == "tone":
+        x = _tone(n, channels, max(1, lim >> 2), bps, seed=channels)
+    elif kind == "noise":
+        x = rng.integers(-lim, lim, size=(n, channels), dtype=np.int32)
+    else:  # mixed: tone + noise bursts + silence
+        x = _tone(n, channels, max(1, lim >> 3), bps, seed=channels)
+        x[n // 3:n // 2] = rng.integers(-lim, lim,
+                                        size=(n // 2 - n // 3, channels),
+                                        dtype=np.int32)
+        x[2 * n // 3:] = 0
+    st, _ = roundtrip(x, bps=bps, block=block)
+    assert st.bits_per_sample == bps
+    assert st.channels == channels
+
+
 def test_lpc_order_selection(monkeypatch):
     """Per-block LPC order selection (flac.cc lpc_analyze): the order is
     chosen from the Levinson recursion's own per-order error terms up to
