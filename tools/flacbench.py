@@ -6,6 +6,11 @@ space (tone = fixed predictors win, filtered noise = LPC, near-silence
 (SURVEY.md §2.3: the encoder must keep pace with device output).
 
     python tools/flacbench.py [--seconds 8] [--rate 352800]
+    python tools/flacbench.py --orders 8,12,16   # LPC-cap A/B, interleaved
+
+The --orders mode re-runs the per-block-order-selection trade
+(DSDKIT_FLAC_ORDER) with interleaved reps and median-of-pairs — the
+only timing protocol this box's ±40% clock wander permits (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -50,11 +55,45 @@ def encode(native, x: np.ndarray, rate: int, bps: int = 24,
     return b"".join(out)
 
 
+def orders_ab(native, orders, seconds: float, rate: int, reps: int) -> None:
+    """Interleaved A/B of LPC order caps on 'music' material (the case
+    where higher orders pay): per rep, every cap encodes back-to-back,
+    and the reported xRT is the per-cap median — clock wander hits all
+    caps of a pair equally."""
+    import os
+
+    rng = np.random.default_rng(0)
+    n = int(seconds * rate)
+    x = material("music", n, rate, rng)
+    raw = x.shape[0] * x.shape[1] * 3
+    sizes, times = {}, {o: [] for o in orders}
+    for o in orders:  # warm + size
+        os.environ["DSDKIT_FLAC_ORDER"] = str(o)
+        sizes[o] = len(encode(native, x, rate))
+    for _ in range(reps):
+        for o in orders:
+            os.environ["DSDKIT_FLAC_ORDER"] = str(o)
+            t0 = time.perf_counter()
+            encode(native, x, rate)
+            times[o].append(time.perf_counter() - t0)
+    os.environ.pop("DSDKIT_FLAC_ORDER", None)
+    base = sorted(times[orders[0]])[reps // 2]
+    base_size = sizes[orders[0]]
+    for o in orders:
+        med = sorted(times[o])[reps // 2]
+        print(f"  cap {o:>2}: {seconds / med:6.1f}x RT  "
+              f"ratio={sizes[o] / raw:.4f}  "
+              f"vs cap {orders[0]}: speed {base / med:5.2f}x  "
+              f"size {sizes[o] / base_size:.4f}x")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--rate", type=int, default=352800)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--orders", type=str, default=None,
+                    help="comma-separated LPC caps to A/B (e.g. 8,12,16)")
     args = ap.parse_args()
 
     from dsd2dxd_tpu import native as nat
@@ -63,6 +102,10 @@ def main() -> int:
     if native is None:
         print("native lib unavailable")
         return 1
+    if args.orders:
+        orders_ab(native, [int(o) for o in args.orders.split(",")],
+                  args.seconds, args.rate, max(5, args.reps))
+        return 0
     rng = np.random.default_rng(0)
     n = int(args.seconds * args.rate)
     for kind in ("tone", "music", "quiet"):
