@@ -506,6 +506,35 @@ def test_njad_matches_python_oracle():
     np.testing.assert_array_equal(got16, _njad_oracle(x, 16, arbiter=got16))
 
 
+def test_njad_near_silence_memo_matches_oracle():
+    """Digital silence and sub-LSB material drive the native encoder's
+    memoized near-silence branch (njad.cc: a candidate is 0, the
+    decision depends only on the histogram and is cached on a version
+    stamp). Interleaving tone bursts between the silence runs bumps the
+    histogram so the memo must invalidate and re-derive; the
+    un-memoized Python oracle pins byte-identity across all of it."""
+    rng = np.random.default_rng(3)
+    lsb24 = 2.0 ** -23
+    seg = 400
+    parts = [
+        np.zeros(seg),                                   # lo == 0, hi == 1
+        0.7 * np.sin(2 * np.pi * np.arange(seg) / 19.3),  # histogram churn
+        0.4 * lsb24 * np.abs(rng.standard_normal(seg)),   # xs in (0, 1)
+        -0.4 * lsb24 * np.abs(rng.standard_normal(seg)),  # lo == -1, hi == 0
+        np.zeros(seg),                                    # memo hit run
+        0.3 * np.sin(2 * np.pi * np.arange(seg) / 7.1),   # churn again
+        np.zeros(seg),                                    # re-derive + hit
+    ]
+    x = np.concatenate(parts).astype(np.float32)
+    x = np.stack([x, np.roll(x, seg // 2)], axis=1)
+    for bits in (24, 16):
+        st = native.njad_new(2)
+        got = native.njad_quantize(st, x, bits)
+        native.njad_free(st)
+        np.testing.assert_array_equal(
+            got, _njad_oracle(x, bits, arbiter=got))
+
+
 def test_njad_rejects_over_16_channels():
     """>16 channels would alias onto ch[0]'s Benford histogram if clamped;
     the native layer rejects and the loader raises instead."""
