@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsd2dxd_tpu.filters.design import Stage
 from dsd2dxd_tpu.formats.dsd_types import DitherType
+from dsd2dxd_tpu.utils.errors import ConfigError
 from dsd2dxd_tpu.ops.phase import (
     PhasePlan,
     build_chain_plans,
@@ -282,7 +283,7 @@ def _uniform01(shape):
 
 
 def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
-                  halo: int, gain: float, c_pad: int, n_blocks: int,
+                  halo: int, gain: float, n_blocks: int,
                   groups: int, tail, r_tail: int, batch: int, r_rows: int,
                   emit: str = "frames", out_shift: int = 0, rr: int = 1,
                   mxu_meta=None, unpack: str = "bitcast"):
@@ -704,6 +705,14 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
     """
     if unpack is None:  # process-stable A/B switch for chip tools
         unpack = os.environ.get("DSD2DXD_UNPACK", "bitcast")
+        if unpack not in ("bitcast", "signmask"):
+            # A typo'd env var must fail LOUDLY: the engine treats
+            # ValueError from step construction as "cfg not
+            # kernel-expressible" and would silently fall back to the
+            # phase path at kernel-sized (uncapped) tiles — a 5-10x
+            # slowdown, or an HBM OOM on DSD512 (engine._make_step).
+            raise ConfigError(
+                f"DSD2DXD_UNPACK={unpack!r} (want bitcast or signmask)")
     if unpack not in ("bitcast", "signmask"):
         raise ValueError(f"unknown unpack variant {unpack!r}")
     if unpack == "signmask" and mxu:
@@ -771,7 +780,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         for p in plans_k
     )
     kernel = _build_kernel(plans_k, coef_tables, cfg, k_sub, halo_lanes,
-                           gain, c_pad, n_blocks, groups, tail, r_tail,
+                           gain, n_blocks, groups, tail, r_tail,
                            batch, r_rows, emit, out_shift, rr, mxu_meta,
                            unpack)
     panel_args = [jnp.asarray(p, dtype=jnp.bfloat16) for p in panels_np]
@@ -864,7 +873,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
                 pcm = pcm.reshape(3, r_rows, pcm.shape[1])
             return pcm, peak[0, 0], new_halo
 
-        return ((jax.jit(step_planes) if jit else step_planes),
+        return ((jax.jit(step_planes, donate_argnums=(1,))
+                 if jit else step_planes),
                 halo_lanes * groups, layout)
 
     def step(x_w, halo_in, seed, *, _transpose=transpose):
@@ -896,7 +906,8 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
         pcm = pcm.T if _transpose else pcm
         return pcm, peak[0, 0], new_halo
 
-    return (jax.jit(step) if jit else step), halo_lanes * groups
+    return ((jax.jit(step, donate_argnums=(1,)) if jit else step),
+            halo_lanes * groups)
 
 
 def init_fused_halo(chain: Sequence[Stage], channels: int,

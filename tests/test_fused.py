@@ -419,9 +419,13 @@ def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
                                          groups=groups)
     rng = np.random.default_rng(5)
     x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
-    halo = jnp.asarray(init_fused_halo(chain, 2, groups=groups))
-    of, pkf, _ = fstep(prep_input(x, g), halo, 0)
-    op, pkp, _ = pstep(prep_input(x, g), halo, 0)
+    # one halo per step: the jitted steps donate their state argument
+    of, pkf, _ = fstep(prep_input(x, g),
+                       jnp.asarray(init_fused_halo(chain, 2, groups=groups)),
+                       0)
+    op, pkp, _ = pstep(prep_input(x, g),
+                       jnp.asarray(init_fused_halo(chain, 2, groups=groups)),
+                       0)
     of, opn = np.asarray(of), np.asarray(op)
     assert float(pkf) == float(pkp)
     n = of.shape[0]
@@ -847,8 +851,9 @@ def test_signmask_unpack_matches_bitcast(rate, out_hz, block, tile,
     assert halo == halo_b
     g = fused_plan(chain)[1]
     rng = np.random.default_rng(11)
+    # separate halos: the jitted steps donate their state argument
     h_a = jnp.asarray(init_fused_halo(chain, 2))
-    h_b = h_a
+    h_b = jnp.asarray(init_fused_halo(chain, 2))
     for t in range(2):
         x = prep_input(rng.integers(0, 256, size=(2, tile),
                                     dtype=np.uint8), g)
@@ -909,3 +914,19 @@ def test_signmask_rejects_mxu_and_unknown():
     with pytest.raises(ValueError, match="unpack"):
         make_fused_step(chain, cfg, block_bytes=2048, interpret=True,
                         unpack="nope")
+
+
+def test_unpack_env_typo_raises_config_error(monkeypatch):
+    """A typo'd DSD2DXD_UNPACK must raise ConfigError, NOT ValueError:
+    the engine swallows ValueError from step construction as "cfg not
+    kernel-expressible" and would silently fall back to the phase path
+    at kernel-sized tiles (a 5-10x slowdown, or an HBM OOM on DSD512)
+    while the user believes they are A/B-ing an unpack variant."""
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    cfg = StepConfig(channels=2, tile_bytes=8192, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    monkeypatch.setenv("DSD2DXD_UNPACK", "signmsk")
+    with pytest.raises(ConfigError, match="DSD2DXD_UNPACK"):
+        make_fused_step(chain, cfg, block_bytes=2048, interpret=True)
