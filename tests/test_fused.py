@@ -869,6 +869,42 @@ def test_signmask_unpack_matches_bitcast(rate, out_hz, block, tile,
             assert abs(float(pa) - float(pb)) <= 1e-6
 
 
+@pytest.mark.parametrize("rate,out_hz", [(DsdRate.DSD64, 352800),
+                                         (DsdRate.DSD256, 352800)])
+def test_signmask_planes_matches_bitcast(rate, out_hz):
+    """The PRODUCTION int path is emit="planes"; if a chip A/B ever
+    flips the default unpack to signmask, this is the combination the
+    engine runs. Deplaned frames from the signmask planes step must be
+    within 1 LSB of the bitcast planes step (same contraction-jitter
+    bound as the frames-mode test), with identical PlaneLayouts and
+    matching peaks."""
+    from dsd2dxd_tpu.pipeline.transfer import deplane_frames_numpy
+
+    chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
+    cfg = StepConfig(channels=2, tile_bytes=8192, bit_depth=24,
+                     dither=DitherType.NONE, level_db=-1.0)
+    s_a, _h, lay_a = make_fused_step(chain, cfg, block_bytes=2048,
+                                     interpret=True, emit="planes")
+    s_b, _h2, lay_b = make_fused_step(chain, cfg, block_bytes=2048,
+                                      interpret=True, emit="planes",
+                                      unpack="signmask")
+    assert lay_a == lay_b
+    g = fused_plan(chain)[1]
+    rng = np.random.default_rng(12)
+    h_a = jnp.asarray(init_fused_halo(chain, 2))
+    h_b = jnp.asarray(init_fused_halo(chain, 2))
+    for t in range(2):
+        x = prep_input(rng.integers(0, 256, size=(2, 8192),
+                                    dtype=np.uint8), g)
+        oa, pa, h_a = s_a(x, h_a, t)
+        ob, pb, h_b = s_b(x, h_b, t)
+        fa = deplane_frames_numpy(np.asarray(oa), lay_a, lay_a.cols)
+        fb = deplane_frames_numpy(np.asarray(ob), lay_b, lay_b.cols)
+        assert np.max(np.abs(fa.astype(np.int64)
+                             - fb.astype(np.int64))) <= 1
+        assert abs(float(pa) - float(pb)) <= 1e-6
+
+
 def test_signmask_rational_head():
     """The rational builder forwards unpack= to its fused head; the tail
     and epilogue are shared XLA code, so outputs agree to the same
