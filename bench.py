@@ -376,6 +376,10 @@ def _emit_unreachable(metric: str) -> None:
 if __name__ == "__main__":
     import os
 
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across bench runs
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--e2e", action="store_true")
     ap.add_argument("--config", type=int, default=None,

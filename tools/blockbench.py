@@ -30,6 +30,9 @@ BLOCKS = [8192, 16384, 32768, 65536, 131072]
 
 
 def main() -> int:
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across tool runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", default=None)
     ap.add_argument("--blocks", default=None)

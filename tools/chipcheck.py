@@ -44,6 +44,9 @@ CELLS = [
 
 
 def main() -> int:
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across tool runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--perf", action="store_true",
                     help="also print a per-cell throughput table")

@@ -49,6 +49,9 @@ def synth_chain(scale: float):
 
 
 def main() -> int:
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across tool runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--block", type=int, default=None,
                     help="input bytes per grid step (default: engine policy)")

@@ -94,6 +94,9 @@ def make_stack(plan, D):
 
 
 def main() -> int:
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across tool runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--cell", default="DSD256:192000")
     ap.add_argument("--tile-mib", type=int, default=16)

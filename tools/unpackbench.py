@@ -35,6 +35,9 @@ CELLS = [
 
 
 def main() -> int:
+    from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()  # reuse XLA compiles across tool runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", default=None)
     ap.add_argument("--pairs", type=int, default=7)
