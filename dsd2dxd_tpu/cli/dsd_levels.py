@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="Report peak levels of DSD files (at the output rate "
                     "a conversion would use).")
     p.add_argument("inputs", nargs="*", metavar="infile/folder(s)|-")
+    # reference dsd_levels derives --version too (dsd_levels/main.rs:27-31
+    # #[command(version)])
+    from dsd2dxd_tpu import __version__
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("-c", "--channels", type=int, default=2)
     p.add_argument("-f", "--fmt", default="I", metavar="I|P")
     p.add_argument("-e", "--endianness", default="M", metavar="M|L")

@@ -117,6 +117,14 @@ def test_version_flag(capsys):
     assert "dsd2dxd" in capsys.readouterr().out
 
 
+def test_dsd_levels_version_flag(capsys):
+    # reference dsd_levels also derives it (dsd_levels/main.rs:27-31)
+    with pytest.raises(SystemExit) as ei:
+        levels_cli.run(["-V"])
+    assert ei.value.code == 0
+    assert "dsd_levels" in capsys.readouterr().out
+
+
 def test_nonexistent_input_hard_errors(tmp_path):
     # the reference's canonicalize()? aborts the run (src/main.rs:256-260)
     rc = cli.run(["-o", "w", "-p", str(tmp_path), "/no/such/file.dsf", "-q"])
