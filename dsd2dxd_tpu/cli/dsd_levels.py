@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="dsd_levels",
         description="Report peak levels of DSD files (at the output rate "
                     "a conversion would use).")
-    p.add_argument("inputs", nargs="*", metavar="infile/folder(s)|-")
+    # unlike dsd2dxd (stdin assumed when no inputs), the reference's
+    # dsd_levels REQUIRES at least one input (dsd_levels/main.rs:34
+    # #[arg(required = true)]; clap usage error, exit 2 — argparse
+    # matches); explicit "-" still reads stdin
+    p.add_argument("inputs", nargs="+", metavar="infile/folder(s)|-")
     # reference dsd_levels derives --version too (dsd_levels/main.rs:27-31
     # #[command(version)])
     from dsd2dxd_tpu import __version__

@@ -117,6 +117,15 @@ def test_version_flag(capsys):
     assert "dsd2dxd" in capsys.readouterr().out
 
 
+def test_dsd_levels_requires_an_input():
+    """Unlike dsd2dxd (stdin assumed), the reference's dsd_levels
+    requires >=1 input (dsd_levels/main.rs:34 required=true): usage
+    error, exit 2."""
+    with pytest.raises(SystemExit) as ei:
+        levels_cli.run([])
+    assert ei.value.code == 2
+
+
 def test_dsd_levels_version_flag(capsys):
     # reference dsd_levels also derives it (dsd_levels/main.rs:27-31)
     with pytest.raises(SystemExit) as ei:
