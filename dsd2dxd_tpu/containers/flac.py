@@ -131,16 +131,32 @@ class FlacWriter:
             self.f.write(data)
 
     def finalize(self) -> None:
-        self._native.flac_finish(self._enc)
-        data = self._native.flac_drain(self._enc)
-        if data:
-            self.f.write(data)
-        if self.f.seekable():
-            self.f.seek(0)
-            header = self._native.flac_header(
-                self._enc,
-                is_last=not (self._comments or self._pictures))
-            self.f.write(header)
-        self.f.flush()
-        self._native.flac_free(self._enc)
-        self._enc = None
+        try:
+            self._native.flac_finish(self._enc)
+            data = self._native.flac_drain(self._enc)
+            if data:
+                self.f.write(data)
+            if self.f.seekable():
+                self.f.seek(0)
+                header = self._native.flac_header(
+                    self._enc,
+                    is_last=not (self._comments or self._pictures))
+                self.f.write(header)
+            self.f.flush()
+        finally:
+            # free even when a write throws (disk full): the handle owns
+            # the output buffer AND the persistent encode worker pool
+            self.close()
+
+    def close(self) -> None:
+        """Idempotent: release the native encoder without touching the
+        stream — the abort path for errors before/instead of finalize()."""
+        if self._enc is not None:
+            self._native.flac_free(self._enc)
+            self._enc = None
+
+    def __del__(self):  # safety net for library embedders
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -44,7 +44,16 @@ class WavWriter:
             body = self._id3
             pad = b"\x00" if len(body) & 1 else b""
             id3_chunk = b"id3 " + struct.pack("<I", len(body)) + body + pad
-        riff_size = 4 + (8 + 16) + len(id3_chunk) + (8 + data_size) + (data_size & 1)
+        fact_chunk = b""
+        if fmt_tag != 1:
+            # the RIFF spec requires a fact chunk (dwSampleLength =
+            # frames per channel) for every non-PCM format tag; strict
+            # readers reject or misreport float WAVs without it
+            frames = data_size // block_align if block_align else 0
+            fact_chunk = b"fact" + struct.pack("<II", 4,
+                                               min(frames, 0xFFFFFFFF))
+        riff_size = (4 + (8 + 16) + len(fact_chunk) + len(id3_chunk)
+                     + (8 + data_size) + (data_size & 1))
         if riff_size > 0xFFFFFFFF:
             # RIFF sizes are 32-bit; a >4 GiB conversion must not crash
             # at finalize (the audio is already on disk). Clamp and warn
@@ -60,6 +69,8 @@ class WavWriter:
         self.f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
         self.f.write(b"fmt " + struct.pack(
             "<IHHIIHH", 16, fmt_tag, ch, sr, byte_rate, block_align, bits))
+        if fact_chunk:
+            self.f.write(fact_chunk)
         if id3_chunk:
             self.f.write(id3_chunk)
         self.f.write(b"data" + struct.pack("<I", data_size))

@@ -87,6 +87,17 @@ class Id3Tag:
         body = b""
         for fr in self.frames:
             data = fr.data
+            if (major == 3 and fr.frame_id.startswith("T")
+                    and data[:1] == b"\x03"):
+                # encoding 3 (UTF-8) is defined only in v2.4; our
+                # text_frame always builds UTF-8, so re-encode when the
+                # tag serializes as v2.3 (latin-1 when it fits, else
+                # UTF-16 with BOM) — strict v2.3 readers reject enc 3
+                txt = fr.text() or ""
+                try:
+                    data = b"\x00" + txt.encode("latin-1")
+                except UnicodeEncodeError:
+                    data = b"\x01" + txt.encode("utf-16")
             if major == 4:
                 size = _syncsafe_encode(len(data))
             else:

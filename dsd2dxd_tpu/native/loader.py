@@ -31,11 +31,19 @@ def build() -> Path:
     if not sources:
         raise FileNotFoundError("no native sources in native/src")
     _BUILD_DIR.mkdir(exist_ok=True)
+    # compile to a pid-suffixed tmp and rename: a concurrent process
+    # must never dlopen a half-written .so (same race + fix as the
+    # filter cache, filters/design.py)
+    tmp = _SO_PATH.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fvisibility=hidden", "-o", str(_SO_PATH),
+        "-fvisibility=hidden", "-o", str(tmp),
     ] + [str(s) for s in sources]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        tmp.replace(_SO_PATH)
+    finally:
+        tmp.unlink(missing_ok=True)
     return _SO_PATH
 
 

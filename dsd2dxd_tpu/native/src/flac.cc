@@ -449,19 +449,15 @@ ResChoice residual_choose(size_t block_size, int pred_order, int max_po,
   return best;
 }
 
-uint64_t residual_cost_bits(size_t block_size, int pred_order, int max_po,
-                            const uint64_t sums[64]) {
-  uint64_t lvl[127];
-  return residual_choose(block_size, pred_order, max_po, sums, lvl).bits;
-}
-
-void write_residual_prepped(BitWriter& bw, const uint32_t* zp,
-                            size_t block_size, int pred_order, int max_po,
-                            const uint64_t sums[64]) {
-  uint64_t lvl[127];
+// Writes the residual using the pyramid + choice residual_choose already
+// produced for the costing decision in write_subframe — recomputing the
+// per-order parameter search here doubled the partition-search cost of
+// every non-verbatim subframe.
+void write_residual_chosen(BitWriter& bw, const uint32_t* zp,
+                           size_t block_size, int pred_order,
+                           const ResChoice& rc, const uint64_t lvl[127]) {
   auto level_at = [&](int po) { return lvl + ((1u << po) - 1); };
-  int best_po = residual_choose(block_size, pred_order, max_po, sums,
-                                lvl).po;
+  int best_po = rc.po;
   uint32_t parts = 1u << best_po;
   size_t cnt_full = block_size / parts;
   const uint64_t* best_lv = level_at(best_po);
@@ -766,8 +762,13 @@ LpcModel lpc_analyze(const int32_t* x, size_t n, int max_order, int bps) {
     e += sel[i] * double(1 << shift);
     int32_t q = int32_t(lround(e));
     int32_t lim = (1 << (m.precision - 1)) - 1;
+    // clamp to [-lim, lim], NOT the full two's-complement [-(lim+1), lim]:
+    // the sign fold below negates q, and +(lim+1) = +16384 is not
+    // representable in the 15-bit coefficient field — put_signed would
+    // emit 0x4000, which decoders sign-extend to -16384 and the whole
+    // subframe would decode to wrong samples (CRCs pass; only MD5 trips)
     if (q > lim) q = lim;
-    if (q < -(lim + 1)) q = -(lim + 1);
+    if (q < -lim) q = -lim;
     e -= q;
     m.qcoef[i] = -q;  // predictor: x[i] ~= sum qcoef*x[i-1-j] (sign folded)
   }
@@ -920,12 +921,14 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps,
     zigzag_partition_sums(best_res.data() + best_order, n, best_order, fpo,
                           zf.data(), fsums);
   }
+  uint64_t lvl[127];
+  ResChoice rc = use_lpc
+      ? residual_choose(n, lpc.order, lpo, lsums, lvl)
+      : residual_choose(n, best_order, fpo, fsums, lvl);
   uint64_t coded_bits =
       use_lpc ? 8 + uint64_t(lpc.order) * bps + 4 + 5 +
-                    uint64_t(lpc.order) * lpc.precision +
-                    residual_cost_bits(n, lpc.order, lpo, lsums)
-              : 8 + uint64_t(best_order) * bps +
-                    residual_cost_bits(n, best_order, fpo, fsums);
+                    uint64_t(lpc.order) * lpc.precision + rc.bits
+              : 8 + uint64_t(best_order) * bps + rc.bits;
   if (coded_bits >= verbatim_bits) {
     bw.put(0, 1);
     bw.put(1, 6);  // VERBATIM
@@ -939,13 +942,13 @@ void write_subframe(BitWriter& bw, const int32_t* x, size_t n, int bps,
     bw.put(uint32_t(lpc.precision - 1), 4);
     bw.put(uint32_t(lpc.shift), 5);
     for (int i = 0; i < lpc.order; ++i) bw.put_signed(lpc.qcoef[i], lpc.precision);
-    write_residual_prepped(bw, zl.data(), n, lpc.order, lpo, lsums);
+    write_residual_chosen(bw, zl.data(), n, lpc.order, rc, lvl);
   } else {
     bw.put(0, 1);
     bw.put(0x08 | uint32_t(best_order), 6);  // FIXED
     bw.put(0, 1);
     for (int i = 0; i < best_order; ++i) bw.put_signed(x[i], bps);
-    write_residual_prepped(bw, zf.data(), n, best_order, fpo, fsums);
+    write_residual_chosen(bw, zf.data(), n, best_order, rc, lvl);
   }
 }
 

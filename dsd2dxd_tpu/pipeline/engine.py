@@ -667,14 +667,21 @@ class Converter:
                 big_endian = self.output in (OutputType.AIFF, OutputType.AIFC)
                 self._packed = (pack_mode, shift, big_endian,
                                 writer.write_packed)
-            sink, cleanup = self._make_sink(writer.write)
             try:
-                self._run(cancel, progress, sink)
+                sink, cleanup = self._make_sink(writer.write)
+                try:
+                    self._run(cancel, progress, sink)
+                finally:
+                    cleanup()
+                    # finalize even on cancel/error: the header gets real
+                    # sizes so a partial file is well-formed, not corrupt
+                    writer.finalize()
             finally:
-                cleanup()
-                # finalize even on cancel/error: the header gets real
-                # sizes so a partial file is well-formed, not corrupt
-                writer.finalize()
+                # belt-and-braces: if finalize itself threw mid-write,
+                # still release the native encoder (FLAC worker pool)
+                close = getattr(writer, "close", None)
+                if close is not None:
+                    close()
 
     def check_level(self, cancel: Optional[CancelFn] = None,
                     progress: Optional[ProgressFn] = None) -> float:

@@ -81,6 +81,29 @@ class TestWav:
         bits = struct.unpack_from("<H", raw, fmt_off + 22)[0]
         assert bits == 32
 
+    def test_wav_float_has_fact_chunk(self, tmp_path):
+        """The RIFF spec requires a fact chunk (dwSampleLength) for any
+        non-PCM format tag; strict readers reject float WAVs without
+        one. PCM int output must NOT grow one."""
+        path = tmp_path / "cf.wav"
+        with open(path, "wb") as f:
+            w = WavWriter(f, channels=2, sample_rate=96000, bit_depth=32)
+            w.write(np.zeros((37, 2), dtype=np.float32))
+            w.finalize()
+        raw = path.read_bytes()
+        off = raw.index(b"fact")
+        size, frames = struct.unpack_from("<II", raw, off + 4)
+        assert (size, frames) == (4, 37)
+        assert off < raw.index(b"data")  # fact precedes data
+        # riff size field accounts for the extra chunk exactly
+        (riff,) = struct.unpack_from("<I", raw, 4)
+        assert riff == len(raw) - 8
+        with open(tmp_path / "ci.wav", "wb") as f:
+            w = WavWriter(f, channels=2, sample_rate=96000, bit_depth=24)
+            w.write(np.zeros((4, 2), dtype=np.int32))
+            w.finalize()
+        assert b"fact" not in (tmp_path / "ci.wav").read_bytes()
+
     def test_wav_with_id3_chunk(self, tmp_path):
         from dsd2dxd_tpu.formats.id3 import Id3Tag, parse_id3
 

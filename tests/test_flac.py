@@ -568,3 +568,30 @@ def test_engine_baseline3_dsd128_flac_20bit_njad(tmp_path):
     x = st.samples[3000:, 0].astype(np.float64) / 2 ** 19
     rms = np.sqrt(np.mean(x ** 2))
     assert abs(rms * np.sqrt(2) - 0.5) < 0.01
+
+
+def test_flac_writer_close_is_idempotent_and_covers_abort(tmp_path):
+    """A conversion error between construction and finalize must not
+    leak the native encoder (and its worker pool): close() releases it,
+    is idempotent, and is safe after finalize() too (the engine calls
+    it belt-and-braces on every exit path)."""
+    import io
+
+    from dsd2dxd_tpu.containers.flac import FlacWriter
+
+    # abort path: never finalized
+    w = FlacWriter(io.BytesIO(), 2, 88200, 24)
+    w.write(np.zeros((128, 2), dtype=np.int32))
+    w.close()
+    w.close()  # idempotent
+    assert w._enc is None
+    # normal path: finalize frees, close after is a no-op
+    buf = io.BytesIO()
+    w2 = FlacWriter(buf, 2, 88200, 24)
+    w2.write(np.zeros((128, 2), dtype=np.int32))
+    w2.finalize()
+    w2.close()
+    assert w2._enc is None
+    from dsd2dxd_tpu.formats.flac_decode import decode_flac
+    decoded = decode_flac(buf.getvalue())
+    assert decoded.md5_ok

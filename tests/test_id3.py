@@ -235,3 +235,26 @@ def test_tyer_skipped_when_tdrc_present():
     cm = dict(id3_to_vorbis_comments(tag))
     assert cm["DATE"] == "2024-05-01"
     assert [k for k, _ in id3_to_vorbis_comments(tag)].count("DATE") == 1
+
+
+def test_v23_serialization_reencodes_utf8_text_frames():
+    """text_frame builds encoding 3 (UTF-8), which exists only in
+    ID3v2.4; to_bytes() on a v2.2/v2.3 tag must re-encode (latin-1 when
+    it fits, else UTF-16 with BOM) or strict v2.3 readers reject the
+    frame. v2.4 serialization keeps UTF-8."""
+    tag = Id3Tag(version=(3, 0))
+    tag.set_text("TALB", "Album")
+    tag.set_text("TIT2", "Titél テ")  # not latin-1-encodable
+    back = parse_id3(tag.to_bytes())
+    assert back.version[0] == 3
+    for fr in back.frames:
+        if fr.frame_id.startswith("T"):
+            assert fr.data[0] in (0, 1)  # v2.3-legal encodings only
+    assert back.get_text("TALB") == "Album"
+    assert back.get_text("TIT2") == "Titél テ"
+
+    tag4 = Id3Tag(version=(4, 0))
+    tag4.set_text("TIT2", "Titél テ")
+    back4 = parse_id3(tag4.to_bytes())
+    assert back4.frames[0].data[0] == 3  # v2.4 keeps UTF-8
+    assert back4.get_text("TIT2") == "Titél テ"
