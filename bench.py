@@ -102,8 +102,12 @@ def main(e2e: bool = False) -> None:
         # A CPU number recorded under a TPU metric name would poison the
         # round record; the __main__ probe normally prevents reaching
         # here, but guard the direct-call path too.
-        _emit_unreachable("xrt_dsd64_stereo_to_352k8_24bit"
-                          + ("_e2e_tunnel" if e2e else "_device"))
+        _emit_unreachable(
+            "xrt_dsd64_stereo_to_352k8_24bit"
+            + ("_e2e_tunnel" if e2e else "_device"),
+            note=f"backend is {jax.default_backend()}, not TPU; a CPU "
+                 "number under a TPU metric name would poison the round "
+                 "record — no measurement taken")
         raise SystemExit(0)
 
     from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
@@ -151,23 +155,38 @@ def main(e2e: bool = False) -> None:
         state = make_state()
         t0 = time.perf_counter()
         digests = []
+
+        def drain(dev_out) -> None:
+            # the kernel emitted wire byte planes; one native host pass
+            # interleaves them (pipeline/transfer.py). Derive the frame
+            # count from the chain ratio (the engine's n_valid
+            # discipline) — a hardcoded ÷8 would walk the native
+            # interleaver out of bounds if this bench ever moves to a
+            # deeper cell.
+            if layout is not None:
+                interleave_planes(np.asarray(dev_out), layout, n_frames)
+            else:
+                unpack24_host(np.asarray(dev_out))
+
+        pending = None  # tile i-1's device output, drained while i runs
         for i in range(n_tiles):
             x = (chunked_device_put(prep(host_tiles[i])) if e2e
                  else staged[i])
             out, peak, state = step(x, state, i)
             if e2e:
-                if layout is not None:
-                    # the kernel emitted wire byte planes; one native
-                    # host pass interleaves them (pipeline/transfer.py).
-                    # Derive the frame count from the chain ratio (the
-                    # engine's n_valid discipline) — a hardcoded ÷8
-                    # would walk the native interleaver out of bounds
-                    # if this bench ever moves to a deeper cell.
-                    interleave_planes(np.asarray(out), layout, n_frames)
-                else:
-                    unpack24_host(np.asarray(pack24_device(out)))
+                # one-deep pipeline (CLAUDE.md: never a bare host sync
+                # in a per-tile loop): D2H+host-interleave of tile i-1
+                # overlaps tile i's upload+compute, like the engine's
+                # drain worker — a serial drain counted 8 full tunnel
+                # round-trips as framework time
+                this = out if layout is not None else pack24_device(out)
+                if pending is not None:
+                    drain(pending)
+                pending = this
             else:
                 digests.append(digest(out))
+        if e2e and pending is not None:
+            drain(pending)
         if not e2e:
             # one REAL host sync: np.asarray (block_until_ready on small
             # buffers returns early through the axon tunnel). Summing all
@@ -362,14 +381,26 @@ def _await_tpu(budget_s: float, probe_timeout_s: float = 180.0) -> bool:
         time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
 
 
-def _emit_unreachable(metric: str) -> None:
+# keep in lockstep with config_n's _emit calls: the null-measurement
+# marker must land under the SAME metric name as a successful run, or a
+# consumer joining bench records by metric never sees the gap
+_CFG_METRICS = {
+    1: "xrt_cfg1_dsd64_dsf_to_352k8_24bit_wav_e2e",
+    2: "xrt_cfg2_raw_i_dsd64_to_s24le_176k4_stdout_e2e",
+    3: "xrt_cfg3_dsd128_dsf_to_88k2_flac_20bit_njad_e2e",
+    4: "xrt_cfg4_dsd256_384k_dsd512_352k8_f32_aiff_e2e",
+    5: "xrt_cfg5_recursive_batch_flac_id3_e2e",
+}
+
+
+def _emit_unreachable(metric: str, note: str = None) -> None:
     print(json.dumps({
         "metric": metric,
         "value": None,
         "unit": "x_realtime",
         "vs_baseline": None,
-        "note": "TPU tunnel unreachable (device discovery hung past the "
-                "probe budget); no measurement taken",
+        "note": note or ("TPU tunnel unreachable (device discovery hung "
+                         "past the probe budget); no measurement taken"),
     }))
 
 
@@ -391,7 +422,8 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if not _await_tpu(a.tpu_wait):
         if a.config is not None:
-            _emit_unreachable(f"xrt_cfg{a.config}_e2e")
+            _emit_unreachable(_CFG_METRICS.get(
+                a.config, f"xrt_cfg{a.config}_e2e"))
         else:
             _emit_unreachable("xrt_dsd64_stereo_to_352k8_24bit"
                               + ("_e2e_tunnel" if a.e2e else "_device"))

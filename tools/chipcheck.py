@@ -11,8 +11,9 @@ PRNG actually execute. Run after any kernel change:
 Checks per cell (every fused-eligible rate pair):
 - float path: max |fused - phase| < 2e-6 over 3 streamed tiles
 - int24 path (no dither): |diff| <= 5 LSB (f32 summation order only)
-- TPDF dither statistics on-chip: quantization-error RMS within 5% of
-  the 0.5774 LSB TPDF+rounding floor (var = 2/12 dither + 1/12 round),
+- TPDF dither statistics on-chip: quantization-error RMS within 10% of
+  the 0.5 LSB TPDF+rounding floor (var = 2/12 dither + 1/12 round
+  = 0.25 -> RMS 0.5; matches the 0.45-0.55 band the code enforces),
   mean < 0.01 LSB, and two different tiles produce different noise
 - peak parity within 1e-4
 """
@@ -213,8 +214,14 @@ def main() -> int:
 
             cfg24 = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
                                dither=DitherType.NONE, level_db=-1.0)
-            fstep24, _ = make_fused_step(chain, cfg24)
+            # at the PRODUCTION grid block (pick_block_bytes) — the
+            # default 16 KiB divides the hz-keyed tile too, so without
+            # this the 64 KiB-block plane layout deep cells actually run
+            # would never be validated on chip
+            bb24 = pick_block_bytes(chain, rate.hz)
+            fstep24, _ = make_fused_step(chain, cfg24, block_bytes=bb24)
             pstep24, _, layout = make_fused_step(chain, cfg24,
+                                                 block_bytes=bb24,
                                                  emit="planes")
             x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
             h1 = jnp.asarray(init_fused_halo(chain, 2))

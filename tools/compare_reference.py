@@ -168,21 +168,32 @@ def compare_pair(ref: Path, ours: Path, raw: str | None, channels: int,
                  bits_override: int | None, max_shift: int):
     ra, rate_a, bits_a = load(ref, raw, channels)
     rb, rate_b, bits_b = load(ours, raw, channels)
-    bits = bits_override or max(bits_a, bits_b)
     if rate_a and rate_b and rate_a != rate_b:
         return dict(name=ours.name, verdict="DIFFERS",
                     note=f"rate {rate_a} vs {rate_b}")
     if ra.shape[1] != rb.shape[1]:
         return dict(name=ours.name, verdict="DIFFERS",
                     note=f"channels {ra.shape[1]} vs {rb.shape[1]}")
-    # float outputs compare in 24-bit-LSB units at full scale
-    if ra.dtype.kind == "f" or rb.dtype.kind == "f":
-        scale = float(1 << 23)
-        a = ra.astype(np.float64) * (scale if ra.dtype.kind == "f" else 1.0)
-        b = rb.astype(np.float64) * (scale if rb.dtype.kind == "f" else 1.0)
-        bits = 24
+    # Normalize BOTH sides into one LSB unit: --bits when given, else
+    # the int side's depth for float-vs-int, else the deeper depth.
+    # Float full scale 1.0 -> 2^(bits-1); an int in n-bit LSBs scales
+    # by 2^(bits-n). (A float side compared against 16-bit int in
+    # 24-bit units would be 256x off — the old code hardcoded 2^23.)
+    if ra.dtype.kind == "f" and rb.dtype.kind == "f":
+        bits = bits_override or 24
+    elif ra.dtype.kind == "f":
+        bits = bits_override or bits_b
+    elif rb.dtype.kind == "f":
+        bits = bits_override or bits_a
     else:
-        a, b = ra.astype(np.float64), rb.astype(np.float64)
+        bits = bits_override or max(bits_a, bits_b)
+
+    def to_unit(x, nbits):
+        if x.dtype.kind == "f":
+            return x.astype(np.float64) * float(1 << (bits - 1))
+        return x.astype(np.float64) * (2.0 ** (bits - nbits))
+
+    a, b = to_unit(ra, bits_a), to_unit(rb, bits_b)
     lag, a, b = align(a, b, max_shift)
     if len(a) == 0:
         return dict(name=ours.name, verdict="DIFFERS", note="no overlap")

@@ -77,13 +77,18 @@ def orders_ab(native, orders, seconds: float, rate: int, reps: int) -> None:
             encode(native, x, rate)
             times[o].append(time.perf_counter() - t0)
     os.environ.pop("DSDKIT_FLAC_ORDER", None)
-    base = sorted(times[orders[0]])[reps // 2]
     base_size = sizes[orders[0]]
     for o in orders:
         med = sorted(times[o])[reps // 2]
+        # speed ratio from PER-REP pairs (same rep = same clock state),
+        # then the median of those ratios — ratioing two independent
+        # medians would let the ±40% clock wander land on different
+        # reps for the two caps and not cancel
+        pair = sorted(times[orders[0]][r] / times[o][r]
+                      for r in range(reps))[reps // 2]
         print(f"  cap {o:>2}: {seconds / med:6.1f}x RT  "
               f"ratio={sizes[o] / raw:.4f}  "
-              f"vs cap {orders[0]}: speed {base / med:5.2f}x  "
+              f"vs cap {orders[0]}: speed {pair:5.2f}x  "
               f"size {sizes[o] / base_size:.4f}x")
 
 

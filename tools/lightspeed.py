@@ -97,20 +97,37 @@ def _measured() -> dict:
                 continue
             parts = cell.split("_")
             rate, hz = parts[0], int(parts[1])
-            # keys may encode the arm's grid-block size (e.g. "_64k");
-            # only count arms measured AT the production block size —
-            # exploratory block configs are not the engine path.
+            chain = get_chain(FilterType.EQUIRIPPLE, DsdRate[rate], hz)
+            prod_blk = fused.pick_block_bytes(chain, DsdRate[rate].hz)
+            # cell keys may encode the measured grid-block size
+            # (e.g. "_64k"); only count cells measured AT the
+            # production block — exploratory configs are not the
+            # engine path.
             blk = next((int(p[:-1]) * 1024 for p in parts[2:]
                         if p.endswith("k") and p[:-1].isdigit()), None)
-            if blk is not None:
-                chain = get_chain(FilterType.EQUIRIPPLE, DsdRate[rate], hz)
-                if blk != fused.pick_block_bytes(chain, DsdRate[rate].hz):
+            if blk is not None and blk != prod_blk:
+                continue
+            # within a cell, keep only PRODUCTION arms: a "blkNNk" arm
+            # must match pick_block_bytes, and named variant arms must
+            # be the shipped default (legacy / before_cross_run / the
+            # opt-in mxu "on" are configs the engine does not run) —
+            # max() over mixed arms would silently report whichever
+            # experiment happened to win.
+            prod_named = ("bitcast", "signmask", "after_cross_run", "off")
+            cand = []
+            for k, v in arms.items():
+                if not isinstance(v, (int, float)):
                     continue
-            best = max(v for k, v in arms.items()
-                       if isinstance(v, (int, float)) and k != "legacy")
+                if k.startswith("blk"):
+                    if k == f"blk{prod_blk // 1024}k":
+                        cand.append(v)
+                elif k in prod_named:
+                    cand.append(v)
+            if not cand:
+                continue
             key = (rate, hz)
             if key in out:
-                out[key] = max(out[key], best)
+                out[key] = max(out[key], max(cand))
     return out
 
 

@@ -96,8 +96,10 @@ def main() -> int:
                     def make_state(chain=chain):
                         return jnp.asarray(fused.init_fused_halo(chain, 2))
                 steps[variant] = step
-        except ValueError as e:
-            print(f"{rate_name}->{out_hz}: build failed: {e}")
+        except Exception as e:  # Mosaic/XLA raise more than ValueError;
+            # one bad cell must not kill the unattended overnight sweep
+            print(f"{rate_name}->{out_hz}: build failed: "
+                  f"{str(e).splitlines()[0][:160]}")
             continue
         tiles = [chunked_device_put(fused.prep_input(
             rng.integers(0, 256, size=(2, big), dtype=np.uint8), g))
@@ -114,8 +116,15 @@ def main() -> int:
             np.asarray(jnp.stack(ds).sum(axis=0))
             return time.perf_counter() - t0
 
-        # warm both compiles, then interleaved pairs
-        run(steps["bitcast"]); run(steps["signmask"])
+        # warm both compiles, then interleaved pairs; first dispatch is
+        # where Mosaic compilation actually fails — skip the cell, not
+        # the sweep
+        try:
+            run(steps["bitcast"]); run(steps["signmask"])
+        except Exception as e:
+            print(f"{rate_name}->{out_hz}: run failed: "
+                  f"{str(e).splitlines()[0][:160]}")
+            continue
         ratios, ta_all, tb_all = [], [], []
         for _ in range(args.pairs):
             ta = run(steps["bitcast"])
