@@ -49,10 +49,18 @@ def data_dir() -> Path:
     return DATA
 
 
+# bump when synth_tone_dsd / write_dsf behavior changes: the cache files
+# are gitignored and persist across runs, so existence alone would keep
+# validating against stale pre-change fixtures (same scheme as
+# filters/design._DESIGN_VERSION)
+_SYNTH_VERSION = 1
+
+
 def _synth_cached(name: str, synth_fn) -> Path:
-    """Generate a fixture once and cache it under tests/data."""
+    """Generate a fixture once and cache it under tests/data, keyed on
+    _SYNTH_VERSION."""
     DATA.mkdir(exist_ok=True)
-    path = DATA / name
+    path = DATA / f"v{_SYNTH_VERSION}_{name}"
     if not path.exists():
         synth_fn(path)
     return path

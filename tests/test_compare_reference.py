@@ -65,8 +65,9 @@ def test_seed_diff_is_dither_equivalent(two_takes):
 
 
 def test_alignment_recovers_known_shift(tmp_path):
-    """Simulated group-delay mismatch: the same PCM written with a
-    63-frame lead must align (offset == -63) and come out bitexact."""
+    """Simulated group-delay mismatch: `ref` starts 63 frames into the
+    stream, so `ours` leads and must align at offset == +63 (positive
+    lag = ours is shifted forward to meet ref) and come out bitexact."""
     import compare_reference as cr
 
     from dsd2dxd_tpu.containers.wav import WavWriter

@@ -57,7 +57,9 @@ def test_roundtrip_multichannel(channels):
     x = _tone(12000, channels, 1 << 21, 24, seed=3)
     st, blob = roundtrip(x, bps=24)
     assert st.channels == channels
-    assert len(blob) < x.nbytes * 0.9
+    # vs the RAW stream size (bps/8 bytes/sample), not int32 nbytes —
+    # the 4 B/sample bound was looser than VERBATIM and could not fail
+    assert len(blob) < x.size * 3 * 0.9
 
 
 @pytest.mark.parametrize("bps", [16, 20, 24])
@@ -67,8 +69,9 @@ def test_roundtrip_tonal(bps, channels):
     st, blob = roundtrip(x, bps=bps)
     assert st.bits_per_sample == bps
     assert st.channels == channels
-    # tonal content must actually compress
-    assert len(blob) < x.nbytes * 0.9
+    # tonal content must actually compress, measured against the RAW
+    # stream size (bps/8 bytes/sample) — int32 nbytes made this vacuous
+    assert len(blob) < x.size * (bps // 8) * 0.9
 
 
 def test_roundtrip_noise_and_extremes():
@@ -80,8 +83,10 @@ def test_roundtrip_noise_and_extremes():
     _st, blob = roundtrip(x, bps=24)
     # incompressible noise must fall back to VERBATIM subframes: rice
     # coding has no size cap (k<=30 -> up to ~31 bits/sample), so the
-    # stream must stay within raw size + container overhead
-    assert len(blob) < x.nbytes * 1.02, len(blob) / x.nbytes
+    # stream must stay within TRUE raw size (3 B/sample at 24-bit) +
+    # container overhead; the old int32-nbytes bound (4 B/sample) was
+    # above even the rice worst case and could not catch the regression
+    assert len(blob) < x.size * 3 * 1.02, len(blob) / (x.size * 3)
 
 
 def test_threaded_encode_byte_identical(monkeypatch):
@@ -91,6 +96,9 @@ def test_threaded_encode_byte_identical(monkeypatch):
     never the stream."""
     import os
 
+    # the ref encode must be genuinely serial even when the ambient env
+    # carries a benchmarking override (CLAUDE.md workflow)
+    monkeypatch.delitem(os.environ, "DSDKIT_FLAC_THREADS", raising=False)
     x = _tone(40000, 2, 6000, 16, seed=3)
     ref = encode(x)
     monkeypatch.setitem(os.environ, "DSDKIT_FLAC_THREADS", "4")
@@ -285,11 +293,14 @@ def test_lpc_order_selection(monkeypatch):
     s2_cap8 = size_at(8, ar2)
     assert s2_cap8 <= s2_low * 1.01, (s2_low, s2_cap8)
 
-    # out-of-contract values are ignored (fall back to default 8)
+    # out-of-contract values are ignored (fall back to default 8):
+    # the stream must be byte-count-identical to the cap-8 encode of
+    # the same material, not merely round-trippable
     monkeypatch.setitem(os.environ, "DSDKIT_FLAC_ORDER", "99")
     blob = encode(ar12, bps=24)
     st = decode_flac(blob)
     assert st.md5_ok
+    assert len(blob) == s8, (len(blob), s8)
     monkeypatch.delitem(os.environ, "DSDKIT_FLAC_ORDER", raising=False)
 
 
@@ -396,7 +407,6 @@ def test_decode_rejects_truncated_picture_block():
 
 
 def test_njad_quantizer_basic():
-    rng = np.random.default_rng(0)
     x = (0.5 * np.sin(2 * np.pi * np.arange(30000) / 47.3)).astype(np.float32)
     x = np.stack([x, x * 0.9], axis=1)
     st = native.njad_new(2)

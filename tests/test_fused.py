@@ -784,8 +784,14 @@ def test_kernel_covers_implies_buildable():
         pick_block_bytes,
     )
     from dsd2dxd_tpu.ops.phase import chain_tile_unit_bits
-    from dsd2dxd_tpu.pipeline.engine import _DEFAULT_TILE_TARGET
 
+    # the PRODUCTION tile target, spelled literally: conftest shrinks
+    # engine._DEFAULT_TILE_TARGET to 512 KiB for suite speed, and a
+    # construction failure that only manifests at production-size tiles
+    # (the DSD512 fallback-OOM scenario this test exists for) must not
+    # be validated at the shrunken size. Step construction is lazy (no
+    # trace), so full-size tiles cost nothing here.
+    _PROD_TILE_TARGET = 4 * 1024 * 1024  # engine.py _DEFAULT_TILE_TARGET
     combos = [(16, DitherType.TPDF), (20, DitherType.TPDF),
               (24, DitherType.TPDF), (24, DitherType.RECTANGULAR),
               (24, DitherType.NONE), (32, DitherType.NONE),
@@ -799,7 +805,7 @@ def test_kernel_covers_implies_buildable():
             # tile = ceil(target / lcm(chain unit, grid block)) units
             unit_bits = math.lcm(
                 chain_tile_unit_bits(build_chain_plans(chain)), block * 8)
-            target_bits = _DEFAULT_TILE_TARGET * int(rate) * 8
+            target_bits = _PROD_TILE_TARGET * int(rate) * 8
             tile = max(1, -(-target_bits // unit_bits)) * unit_bits // 8
             assert tile % block == 0, (rate, out_hz)
             for depth, dither in combos:
