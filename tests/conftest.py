@@ -17,6 +17,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the suite, explicitly: the
+# interpret-mode Pallas tests spend most of their wall time COMPILING
+# the kernel emulations, and those executables are identical across
+# runs (keyed on HLO, so any kernel change recompiles). Measured: full
+# suite 13.5 min cold -> ~5.5 min warm. The CLI tests were already
+# turning this on process-wide mid-run via apply_platform_env();
+# enabling it up front makes the behavior deterministic instead of
+# dependent on test ordering. DSD2DXD_COMPILE_CACHE=off disables.
+from dsd2dxd_tpu.utils.device import enable_compile_cache
+
+enable_compile_cache()
+
 # Small engine tiles for the short test fixtures (the production default
 # of 4 MiB/ch x rate multiplier just burns CPU time on padding here).
 import dsd2dxd_tpu.pipeline.engine as _engine
