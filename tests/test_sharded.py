@@ -336,3 +336,25 @@ def test_chunked_matches_one_dispatch_dithered_aligned_geometry():
     got = np.concatenate(got, axis=0)
     np.testing.assert_array_equal(got, ref)
     assert abs(peak - ref_peak) < 1e-6
+
+
+def test_convert_stream_tiled_rational_chain():
+    """A 48k-family chain (trailing x160/147 polyphase stage) through
+    the tile-sharded path: the tile unit from chain_tile_unit_bits must
+    land every tile boundary on a whole rational phase cycle so
+    translation invariance holds. Previously untested — only pure ÷2^k
+    chains had sharded coverage."""
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    ratio = chain_ratio(chain)
+    planes = synth_tone_dsd(1000.0, 0.1, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=32,
+                     dither=DitherType.NONE, level_db=0.0)
+    got, peak = convert_stream_tiled(planes, chain, cfg, mesh)
+    ref, ref_peak = _streaming_oracle(planes, chain, cfg)
+    assert got.shape[0] == int(planes.shape[1] * 8 * ratio)
+    skip = int(halo_bytes_for(chain) * 8 * ratio) + 1
+    n = min(len(got), len(ref))
+    assert np.max(np.abs(got[skip:n] - ref[skip:n])) < 1e-4
+    assert abs(peak - ref_peak) < 1e-3
