@@ -103,7 +103,7 @@ def test_convert_stream_tiled_deep_chain():
     assert np.max(np.abs(got[skip:n] - ref[skip:n])) < 1e-4
 
 
-@pytest.mark.parametrize("out_hz", [352800, 88200])
+@pytest.mark.parametrize("out_hz", [352800, 88200, 96000])
 def test_chunked_streaming_matches_one_dispatch(out_hz):
     """convert_stream_tiled_chunked (bounded host memory, VERDICT r2
     weak 4) must produce bit-identical PCM to the one-dispatch
@@ -145,7 +145,13 @@ def test_chunked_streaming_matches_one_dispatch(out_hz):
     # n_valid), so both tilings measure the same samples exactly
     assert abs(peak - ref_peak) < 1e-6
     # bounded memory: the reader is only ever asked for one macro-chunk
-    assert max_req[0] == 8 * cfg.tile_bytes
+    # of n_dev x the EFFECTIVE tile (cfg.tile_bytes rounded up to the
+    # chain unit — 4116 not 4096 for the x160/147 rational family)
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes
+
+    unit = _chain_unit_bytes(chain)
+    eff_tile = -(-cfg.tile_bytes // unit) * unit
+    assert max_req[0] == 8 * eff_tile
     # real incremental progress, monotone to 100
     pcts = [u.percent for u in updates]
     assert len(pcts) >= 2 and pcts == sorted(pcts)
