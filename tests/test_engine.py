@@ -273,3 +273,38 @@ def test_cancel(tone_dsf, tmp_path):
         append_rate=False, base_dir=tone_dsf.parent, input_path=tone_dsf)
     with pytest.raises(CancelledError):
         conv.do_conversion(cancel=lambda: True)
+
+
+def test_container_to_wav_njad(tone_dsf, tmp_path):
+    """End-to-end NJAD conversion through the engine: device emits
+    float32 tiles, the host requantizer (_make_sink wrap) quantizes to
+    24-bit, the writer gets ints. Previously only bench config 3 (TPU-
+    gated) drove this path. Pins: valid WAV, |error| <= 1 LSB vs the
+    float conversion, deterministic across runs, state freed."""
+    kw = dict(bit_depth=24, output=OutputType.WAV, level_db=0.0,
+              output_rate=352800, filt=FilterType.EQUIRIPPLE,
+              append_rate=False, base_dir=tone_dsf.parent,
+              input_path=tone_dsf)
+    conv = Converter.from_container(out_dir=tmp_path / "n1",
+                                    dither=DitherType.NJAD, **kw)
+    conv.do_conversion()
+    fmt, data = _read_wav(tmp_path / "n1" / "tone.wav")
+    assert (fmt[0], fmt[5]) == (1, 24)
+    got = _decode_s24le(data, 2).astype(np.int64)
+    # float reference: same chain, no dither, 32f output
+    conv_f = Converter.from_container(out_dir=tmp_path / "f",
+                                      dither=DitherType.NONE,
+                                      **{**kw, "bit_depth": 32})
+    conv_f.do_conversion()
+    fmt_f, data_f = _read_wav(tmp_path / "f" / "tone.wav")
+    assert fmt_f[0] == 3
+    ref = np.frombuffer(data_f, "<f4").reshape(-1, 2).astype(np.float64)
+    n = min(len(got), len(ref))
+    err = got[:n] - ref[:n] * (1 << 23)
+    assert np.abs(err).max() <= 1.0 + 1e-6  # floor/ceil choice only
+    # deterministic: NJAD has no RNG, state derives from the stream
+    conv2 = Converter.from_container(out_dir=tmp_path / "n2",
+                                     dither=DitherType.NJAD, **kw)
+    conv2.do_conversion()
+    _, data2 = _read_wav(tmp_path / "n2" / "tone.wav")
+    assert data2 == data
