@@ -236,3 +236,67 @@ def test_peak_matches_conversion_output(tone_dsf_by_rate):
     peak = conv2._run(None, None, lambda t: peaks.append(np.abs(t).max()))
     assert abs(db - 20 * np.log10(max(peaks))) < 0.01
     assert abs(peak - max(peaks)) < 1e-6
+
+
+def test_baseline_config3_flac_20bit_njad(tone_dsf_by_rate, tmp_path):
+    """BASELINE.md config 3 end-to-end on CPU: DSD128 -> 20-bit 88.2k
+    FLAC with NJAD. The first engine-level FLAC conversion in the suite
+    — everything upstream tested the writer/native layers directly.
+    Pins: oracle-decoded MD5, 20 bps carried natively, rate/frames,
+    tone at 1 kHz, and NJAD's <=1 LSB20 error bound vs a float run."""
+    from dsd2dxd_tpu.formats.flac_decode import decode_flac
+
+    pytest.importorskip("dsd2dxd_tpu.native")
+    src = tone_dsf_by_rate[DsdRate.DSD128]
+    kw = dict(output_rate=88200, level_db=0.0,
+              filt=FilterType.EQUIRIPPLE, append_rate=False,
+              base_dir=src.parent, input_path=src)
+    conv = Converter.from_container(
+        bit_depth=20, output=OutputType.FLAC, dither=DitherType.NJAD,
+        out_dir=tmp_path / "c3", **kw)
+    conv.do_conversion()
+    out = conv.output_path()
+    assert out.suffix == ".flac" and out.exists()
+    st = decode_flac(out.read_bytes())
+    assert st.md5_ok
+    assert st.bits_per_sample == 20
+    assert st.sample_rate == 88200
+    dur = RATE_HZ[DsdRate.DSD128] and st.samples.shape[0] / 88200
+    # fixture length: seconds = max(0.12, 2e6/hz)
+    assert abs(dur - max(0.12, 2_000_000 / RATE_HZ[DsdRate.DSD128])) < 0.01
+    x = st.samples[:, 0].astype(np.float64) / 2 ** 19
+    n = len(x)
+    X = np.abs(np.fft.rfft(x * np.hanning(n)))
+    freqs = np.fft.rfftfreq(n, 1 / 88200)
+    assert abs(freqs[np.argmax(X)] - 1000.0) < 5.0
+    # NJAD error bound vs the float conversion (floor/ceil choice only)
+    conv_f = Converter.from_container(
+        bit_depth=32, output=OutputType.WAV, dither=DitherType.NONE,
+        out_dir=tmp_path / "f", **kw)
+    conv_f.do_conversion()
+    raw = conv_f.output_path().read_bytes()
+    d = raw.index(b"data")
+    ref = np.frombuffer(raw, "<f4", offset=d + 8).reshape(-1, 2)
+    m = min(len(ref), len(st.samples))
+    err = st.samples[:m].astype(np.float64) - ref[:m] * 2 ** 19
+    assert np.abs(err).max() <= 1.0 + 1e-6
+
+
+def test_engine_flac_24bit_tpdf(tone_dsf_by_rate, tmp_path):
+    """24-bit TPDF FLAC through the engine (the config-1-with-FLAC
+    shape): oracle MD5 + amplitude sanity."""
+    from dsd2dxd_tpu.formats.flac_decode import decode_flac
+
+    pytest.importorskip("dsd2dxd_tpu.native")
+    src = tone_dsf_by_rate[DsdRate.DSD64]
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.FLAC, dither=DitherType.TPDF,
+        output_rate=352800, level_db=0.0, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=src.parent, input_path=src,
+        out_dir=tmp_path)
+    conv.do_conversion()
+    st = decode_flac(conv.output_path().read_bytes())
+    assert st.md5_ok and st.bits_per_sample == 24
+    x = st.samples[:, 0].astype(np.float64) / 2 ** 23
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.02
