@@ -300,3 +300,36 @@ def test_engine_flac_24bit_tpdf(tone_dsf_by_rate, tmp_path):
     x = st.samples[:, 0].astype(np.float64) / 2 ** 23
     rms = np.sqrt(np.mean(x ** 2))
     assert abs(rms * np.sqrt(2) - 0.5) < 0.02
+
+
+def test_baseline_config4_aifc_float(tone_dsf_by_rate, tmp_path):
+    """BASELINE.md config 4 shape on CPU: DSD256 -> 384k 32-bit float
+    AIFC with FPD dither, through the engine (the suite had no
+    engine-level AIFF/AIFC conversion). Walks the AIFC chunks directly:
+    fl32 compression tag, float payload, 1 kHz tone."""
+    src = tone_dsf_by_rate[DsdRate.DSD256]
+    conv = Converter.from_container(
+        bit_depth=32, output=OutputType.AIFC, dither=DitherType.FPD,
+        output_rate=384000, level_db=0.0, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=src.parent, input_path=src,
+        out_dir=tmp_path)
+    conv.do_conversion()
+    out = conv.output_path()
+    assert out.suffix == ".aifc" and out.exists()
+    raw = out.read_bytes()
+    assert raw[:4] == b"FORM" and raw[8:12] == b"AIFC"
+    comm = raw.index(b"COMM")
+    ch, frames, bits = struct.unpack_from(">hIh", raw, comm + 8)
+    assert (ch, bits) == (2, 32)
+    # COMM body: ch(2) frames(4) bits(2) extended-80 rate(10) then tag
+    assert raw[comm + 8 + 18:comm + 8 + 22] == b"fl32"
+    ssnd = raw.index(b"SSND")
+    x = np.frombuffer(raw, ">f4", count=frames * 2,
+                      offset=ssnd + 16).reshape(-1, 2)
+    assert len(x) == frames
+    sec = max(0.12, 2_000_000 / RATE_HZ[DsdRate.DSD256])
+    assert abs(frames / 384000 - sec) < 0.01
+    w = x[2000:, 0].astype(np.float64)
+    X = np.abs(np.fft.rfft(w * np.hanning(len(w))))
+    freqs = np.fft.rfftfreq(len(w), 1 / 384000)
+    assert abs(freqs[np.argmax(X)] - 1000.0) < 6.0
