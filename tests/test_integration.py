@@ -333,3 +333,40 @@ def test_baseline_config4_aifc_float(tone_dsf_by_rate, tmp_path):
     X = np.abs(np.fft.rfft(w * np.hanning(len(w))))
     freqs = np.fft.rfftfreq(len(w), 1 / 384000)
     assert abs(freqs[np.argmax(X)] - 1000.0) < 6.0
+
+
+def test_engine_aiff_24bit_with_id3(tmp_path):
+    """24-bit AIFF through the engine from a DFF source with ID3: the
+    tag must ride along in an 'ID3 ' chunk (the id3-crate convention)
+    and stdlib aifc must read the audio. Completes engine-level
+    coverage of all five output types."""
+    import shutil
+
+    aifc_mod = pytest.importorskip("aifc")
+    src_ref = "/root/reference/id3_test/dff/1kHz_stereo_i.dff"
+    src = tmp_path / "in" / "tone.dff"
+    src.parent.mkdir()
+    shutil.copy(src_ref, src)
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.AIFF, dither=DitherType.TPDF,
+        output_rate=88200, level_db=0.0, filt=FilterType.EQUIRIPPLE,
+        append_rate=False, base_dir=src.parent, input_path=src,
+        out_dir=tmp_path / "out")
+    conv.do_conversion()
+    out = conv.output_path()
+    assert out.suffix == ".aif" and out.exists()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = aifc_mod.open(str(out))
+    assert (r.getnchannels(), r.getsampwidth(), r.getframerate()) \
+        == (2, 3, 88200)
+    assert r.getnframes() > 0
+    raw = out.read_bytes()
+    from dsd2dxd_tpu.formats.id3 import parse_id3
+    off = raw.index(b"ID3 ")
+    (size,) = struct.unpack_from(">I", raw, off + 4)
+    tag = parse_id3(raw[off + 8: off + 8 + size])
+    assert tag is not None
+    assert tag.get_text("TIT2") == "1kHz Test Tone DSD64"
