@@ -53,9 +53,16 @@ def _vorbis_comment_block(comments: list[tuple[str, str]], is_last: bool) -> byt
 
 
 class FlacWriter:
+    # 8192-sample frames: interleaved A/B on tone/pink/mix/quiet/noise
+    # at 24/352.8k measured never-larger output (tone −3%, mix −1.6%)
+    # and +0.7-4.7% encode speed vs libFLAC's 4096 — per-frame overhead
+    # halves while rice partitions (po<=6 -> 128 samples each) stay
+    # adaptive. All our FLAC rates are >48 kHz, where the streamable
+    # subset allows block sizes up to 16384 (16384 itself lost on tone:
+    # +1.3% size).
     def __init__(self, f: BinaryIO, channels: int, sample_rate: int,
                  bit_depth: int, id3: Optional[bytes] = None,
-                 block_size: int = 4096):
+                 block_size: int = 8192):
         if bit_depth not in (16, 20, 24):
             raise ConfigError(
                 f"FLAC output supports 16/20/24-bit, not {bit_depth}")

@@ -1310,8 +1310,14 @@ struct Encoder {
       int bs_code;
       int bs_tail_bits = 0;
       uint32_t bs_tail = 0;
-      if (bs == block_size && bs == 4096) bs_code = 12;
-      else if (bs == block_size && bs == 4608) bs_code = 5;  // 576*2^3
+      if (bs == block_size && bs >= 256 && bs <= 16384 &&
+          (bs & (bs - 1)) == 0) {
+        // direct codes 8..14 = 256 * 2^k (4096 -> 12, 8192 -> 13)
+        int k = 0;
+        while ((256u << k) != uint32_t(bs)) ++k;
+        bs_code = 8 + k;
+      } else if (bs == block_size && bs == 4608) bs_code = 5;  // 576*2^3
+      else if (bs == block_size && bs == 192) bs_code = 1;
       else { bs_code = 7; bs_tail_bits = 16; bs_tail = bs - 1; }
       h.put(uint32_t(bs_code), 4);
       h.put(uint32_t(sample_rate_code(rate)), 4);

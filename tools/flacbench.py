@@ -43,7 +43,7 @@ def material(kind: str, n: int, rate: int, rng) -> np.ndarray:
 
 
 def encode(native, x: np.ndarray, rate: int, bps: int = 24,
-           block: int = 4096, feed: int = 65536) -> bytes:
+           block: int = 8192, feed: int = 65536) -> bytes:
     enc = native.flac_new(rate, x.shape[1], bps, block)
     out = []
     for off in range(0, x.shape[0], feed):
