@@ -10,13 +10,18 @@ single-chunk path is a plain device_put.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CHUNK_BYTES = 512 * 1024
+# 512 KiB suits the erratic tunnel (CLAUDE.md). On a directly-attached
+# PCIe host one big device_put beats 32 chunks + a device concat — set
+# DSD2DXD_H2D_CHUNK_BYTES there (0 disables chunking entirely).
+_CHUNK_BYTES = int(os.environ.get("DSD2DXD_H2D_CHUNK_BYTES",
+                                  512 * 1024)) or (1 << 62)
 
 
 @lru_cache(maxsize=64)
