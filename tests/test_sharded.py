@@ -344,6 +344,55 @@ def test_chunked_matches_one_dispatch_dithered_aligned_geometry():
     assert abs(peak - ref_peak) < 1e-6
 
 
+def test_chunked_dithered_geometry_mismatch_bounded():
+    """The other side of the identity boundary: with DIFFERING tile
+    geometry the chunked path keys tile noise by different absolute tile
+    indices, so dithered PCM is NOT bit-identical to the one-dispatch
+    tiling — but the pre-dither signal is identical, so outputs must
+    differ by at most the dither band (TPDF spans 2 LSB; two independent
+    draws plus rounding bound the diff at 4). Pins the boundary the
+    parallel/sharded.py docstrings document."""
+    from dsd2dxd_tpu.parallel.sharded import (
+        _chain_unit_bytes,
+        convert_stream_tiled,
+        convert_stream_tiled_chunked,
+    )
+
+    mesh = _mesh_1d()
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    ratio = chain_ratio(chain)
+    planes = synth_tone_dsd(997.0, 0.1, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    ref, ref_peak = convert_stream_tiled(planes, chain, cfg, mesh)
+
+    pos = [0]
+
+    def read(n):
+        if pos[0] >= planes.shape[1]:
+            return None
+        take = min(n, planes.shape[1] - pos[0])
+        out = planes[:, pos[0]:pos[0] + take]
+        pos[0] += take
+        return out
+
+    # a deliberately different (smaller) tile than one-dispatch's
+    # total/n_dev geometry
+    cfg_c = StepConfig(channels=2, tile_bytes=_chain_unit_bytes(chain),
+                       bit_depth=24, dither=DitherType.TPDF, level_db=0.0)
+    got = []
+    peak = convert_stream_tiled_chunked(
+        read, chain, cfg_c, mesh, lambda t: got.append(t.copy()))
+    got = np.concatenate(got, axis=0)
+    skip = int(halo_bytes_for(chain) * 8 * ratio) + 1
+    n = min(len(got), len(ref))
+    err = np.abs(got[skip:n].astype(np.int64)
+                 - ref[skip:n].astype(np.int64)).max()
+    assert 0 < err <= 4, err  # differs (noise re-keyed), only in dither
+    assert abs(peak - ref_peak) < 1e-3
+
+
 def test_convert_stream_tiled_rational_chain():
     """A 48k-family chain (trailing x160/147 polyphase stage) through
     the tile-sharded path: the tile unit from chain_tile_unit_bits must
