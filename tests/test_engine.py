@@ -308,3 +308,40 @@ def test_container_to_wav_njad(tone_dsf, tmp_path):
     conv2.do_conversion()
     _, data2 = _read_wav(tmp_path / "n2" / "tone.wav")
     assert data2 == data
+
+
+@pytest.mark.parametrize("rate_hz,out_hz", [
+    (22_579_200, 352800),   # DSD512 -> 352.8k: deepest input rate
+    (11_289_600, 1411200),  # DSD256 -> 1411.2k: highest output rate
+])
+def test_deep_cells_through_container_path(rate_hz, out_hz, tmp_path):
+    """The deep rate-matrix cells (SURVEY §2.5 frontier; VERDICT r3
+    item 7) exercised through the FULL container->engine path — DSF
+    parse, tile loop, dither, WAV write — not only via chipcheck's bare
+    device steps. Fixture is a real written-and-reparsed .dsf."""
+    from dsd2dxd_tpu.formats.dsf import write_dsf
+    from dsd2dxd_tpu.ops.dsm import synth_tone_dsd
+
+    planes = synth_tone_dsd(1000.0, 0.1, rate_hz, amplitude=0.5,
+                            channels=2)
+    src = tmp_path / f"tone_{rate_hz}.dsf"
+    write_dsf(src, planes, rate_hz, lsb_first=True)
+    conv = Converter.from_container(
+        bit_depth=24, output=OutputType.WAV, level_db=0.0,
+        output_rate=out_hz, out_dir=tmp_path, dither=DitherType.TPDF,
+        filt=FilterType.EQUIRIPPLE, append_rate=False,
+        base_dir=tmp_path, input_path=src)
+    conv.do_conversion()
+    fmt, data = _read_wav(tmp_path / src.with_suffix(".wav").name)
+    tag, ch, rate, _, _, bits = fmt
+    assert (tag, ch, rate, bits) == (1, 2, out_hz, 24)
+    pcm = _decode_s24le(data, 2).astype(np.float64) / 2 ** 23
+    assert abs(len(pcm) - int(0.1 * out_hz)) < 2
+    # tone survives the full path: correct frequency and level
+    x = pcm[len(pcm) // 4:, 0]
+    n = len(x)
+    X = np.fft.rfft(x * np.hanning(n))
+    freqs = np.fft.rfftfreq(n, 1 / out_hz)
+    assert abs(freqs[np.argmax(np.abs(X))] - 1000.0) < 10.0
+    rms = np.sqrt(np.mean(x ** 2))
+    assert abs(rms * np.sqrt(2) - 0.5) < 0.01
