@@ -15,9 +15,13 @@
 // statistical behavior (bounded error, determinism, Benford tracking),
 // not lineage.
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #define DSDKIT_API extern "C" __attribute__((visibility("default")))
 
@@ -128,19 +132,20 @@ DSDKIT_API void* dsdkit_njad_new(uint32_t channels) {
   return st;
 }
 
-// in: (frames x channels) float32 full-scale ±1; out: int32 at `bits`.
-// Returns 0, or -1 when `channels` does not match the handle (aliasing
-// extra channels onto ch[0] would couple their dither feedback — the
-// exact failure njad_new's reject-don't-clamp contract exists to stop).
-DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
-                                    int32_t* out, size_t frames,
-                                    uint32_t channels, int bits) {
-  auto* st = static_cast<NjadState*>(handle);
-  if (channels != st->channels || bits < 2 || bits > 32) return -1;
-  double scale = double(1ll << (bits - 1));
+namespace {
+
+// The dither feedback is sequential PER CHANNEL (the Benford histogram
+// is the feedback state) but channels never interact, so each channel's
+// full sample walk can run on its own thread — the channel axis is the
+// only parallelism a single NJAD stream admits (concurrent STREAMS are
+// already parallel: the CLI pool runs one Converter per file, each with
+// its own NjadState). Per-channel processing is byte-identical to the
+// old interleaved loop by construction (pinned in tests).
+void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
+                      size_t frames, uint32_t channels, uint32_t c,
+                      double scale, int bits) {
   for (size_t i = 0; i < frames; ++i) {
-    for (uint32_t c = 0; c < channels; ++c) {
-      ChannelState& cs = st->ch[c];
+    {
       double x = double(in[i * channels + c]) * scale;
       double lo = std::floor(x), hi = lo + 1.0;
       int dlo, dhi;
@@ -193,6 +198,58 @@ DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
       out[i * channels + c] = clip((long long)std::llround(pick), bits);
     }
   }
+}
+
+// Worker count: DSDKIT_NJAD_THREADS if set (lets a 1-core CI box
+// exercise the threaded path deterministically), else the hardware
+// count; always clamped to the channel count.
+unsigned njad_threads(uint32_t channels) {
+  unsigned n = std::thread::hardware_concurrency();
+  if (const char* e = getenv("DSDKIT_NJAD_THREADS")) {
+    long v = strtol(e, nullptr, 10);
+    if (v >= 1 && v <= 64) n = unsigned(v);
+  }
+  if (n < 1) n = 1;
+  return n < channels ? n : channels;
+}
+
+}  // namespace
+
+// in: (frames x channels) float32 full-scale ±1; out: int32 at `bits`.
+// Returns 0, or -1 when `channels` does not match the handle (aliasing
+// extra channels onto ch[0] would couple their dither feedback — the
+// exact failure njad_new's reject-don't-clamp contract exists to stop).
+DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
+                                    int32_t* out, size_t frames,
+                                    uint32_t channels, int bits) {
+  auto* st = static_cast<NjadState*>(handle);
+  if (channels != st->channels || bits < 2 || bits > 32) return -1;
+  double scale = double(1ll << (bits - 1));
+  unsigned nt = njad_threads(channels);
+  if (nt <= 1 || frames < 4096) {
+    // fresh threads per call are ~25 us; skip them when the walk itself
+    // is that small
+    for (uint32_t c = 0; c < channels; ++c)
+      quantize_channel(st->ch[c], in, out, frames, channels, c, scale,
+                       bits);
+    return 0;
+  }
+  // quantize is called once per ~1 s engine tile (a handful of times
+  // per file), so per-call std::threads cost noise-level latency and —
+  // unlike a persistent per-state pool — leave nothing parked when the
+  // CLI runs many concurrent Converter streams, each with its own
+  // NjadState.
+  std::atomic<uint32_t> cursor{0};
+  auto work = [&] {
+    for (uint32_t c; (c = cursor.fetch_add(1)) < channels;)
+      quantize_channel(st->ch[c], in, out, frames, channels, c, scale,
+                       bits);
+  };
+  std::vector<std::thread> ts;
+  ts.reserve(nt - 1);
+  for (unsigned t = 1; t < nt; ++t) ts.emplace_back(work);
+  work();
+  for (auto& t : ts) t.join();
   return 0;
 }
 

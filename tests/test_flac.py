@@ -605,3 +605,31 @@ def test_flac_writer_close_is_idempotent_and_covers_abort(tmp_path):
     from dsd2dxd_tpu.formats.flac_decode import decode_flac
     decoded = decode_flac(buf.getvalue())
     assert decoded.md5_ok
+
+
+def test_njad_threaded_byte_identical(monkeypatch):
+    """Channel-parallel NJAD (DSDKIT_NJAD_THREADS override makes the
+    threaded path exercisable on a 1-core box) must be byte-identical
+    to the serial walk: channels never share feedback state, so the
+    per-channel thread split only changes scheduling. Covers state
+    carry across multiple quantize calls too."""
+    import os
+
+    rng = np.random.default_rng(7)
+    # two tiles > the 4096-frame threading threshold, distinct channels
+    tiles = [
+        np.stack([0.4 * np.sin(2 * np.pi * np.arange(20000) / 37.1),
+                  rng.uniform(-0.6, 0.6, 20000)], axis=1).astype(np.float32)
+        for _ in range(2)
+    ]
+    monkeypatch.delitem(os.environ, "DSDKIT_NJAD_THREADS", raising=False)
+    monkeypatch.setitem(os.environ, "DSDKIT_NJAD_THREADS", "1")
+    st = native.njad_new(2)
+    ref = [native.njad_quantize(st, t, 24) for t in tiles]
+    native.njad_free(st)
+    monkeypatch.setitem(os.environ, "DSDKIT_NJAD_THREADS", "4")
+    st = native.njad_new(2)
+    got = [native.njad_quantize(st, t, 24) for t in tiles]
+    native.njad_free(st)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
