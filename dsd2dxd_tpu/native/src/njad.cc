@@ -61,6 +61,20 @@ const unsigned long long kP10[20] = {
     100000000000000000ull, 1000000000000000000ull,
     10000000000000000000ull};
 
+// kThr[g][d] = d * 10^g: digit thresholds for the ladder digit_pair.
+// g <= 18 suffices: any |lo| < 2^63 <= 9.3e18 has at most 19 digits, so
+// the corrected decade index never exceeds 18, and 10 * 10^18 = 1e19
+// still fits u64. Built at load time (constexpr-equivalent).
+struct ThrTable {
+  unsigned long long t[19][11];
+  ThrTable() {
+    for (int g = 0; g <= 18; ++g)
+      for (int d = 0; d <= 10; ++d)
+        t[g][d] = (unsigned long long)d * kP10[g];
+  }
+};
+const ThrTable kThr;
+
 // Leading digits of BOTH quantization candidates (lo and lo+1) from one
 // integer divide: digit(lo) = q of a = q*p10[g] + r, and digit(lo+1)
 // only differs from q when the increment crosses a digit boundary —
@@ -71,7 +85,7 @@ const unsigned long long kP10[20] = {
 // construction so the correction only ever decrements once (the old
 // bl*1233>>12 form underestimated: digit(10) came out as 10, indexing
 // the histogram out of bounds).
-void digit_pair(long long lo, int* dlo, int* dhi) {
+void digit_pair_div(long long lo, int* dlo, int* dhi) {
   if (lo >= 0) {
     unsigned long long a = (unsigned long long)lo;
     if (a == 0) { *dlo = 0; *dhi = 1; return; }
@@ -93,6 +107,55 @@ void digit_pair(long long lo, int* dlo, int* dhi) {
     if (r != 0) *dhi = int(q);                    // |hi| = a-1, same decade
     else *dhi = q == 1 ? 9 : int(q - 1);          // -100->-99, -200->-199
   }
+}
+
+// Same digit pair via a branchless threshold LADDER instead of the
+// integer divide: with the decade index g in hand (p10[g] <= a <
+// p10[g+1]), the leading digit is 1 + #{d in 2..9 : a >= d*10^g} — eight
+// INDEPENDENT compare-adds a superscalar core retires in ~3 cycles,
+// where the 64-bit divide is a ~25-40-cycle dependency. The candidate's
+// digit then needs only the boundary test the divide form derived from
+// the remainder: lo>=0 crosses iff a+1 == (d+1)*10^g (999->1000 wraps
+// to 1); lo<0 has |hi| = a-1, crossing iff a == d*10^g (-100->-99;
+// d==1 drops a decade to 9). Bit-identical to digit_pair_div over the
+// full s64 domain (pinned in tests via the DSDKIT_NJAD_DIGIT A/B).
+// Measured SLOWER than the divide under the real feedback loop — see
+// use_div_digit below; kept opt-in.
+void digit_pair_thr(long long lo, int* dlo, int* dhi) {
+  unsigned long long a;
+  bool neg = lo < 0;
+  if (!neg) {
+    a = (unsigned long long)lo;
+    if (a == 0) { *dlo = 0; *dhi = 1; return; }
+  } else {
+    a = 0ull - (unsigned long long)lo;
+    if (a == 1) { *dlo = 1; *dhi = 0; return; }
+  }
+  int bl = 63 - __builtin_clzll(a);
+  int g = ((bl + 1) * 1233) >> 12;
+  if (a < kP10[g]) --g;
+  const unsigned long long* T = kThr.t[g];
+  int d = 1 + int(a >= T[2]) + int(a >= T[3]) + int(a >= T[4])
+            + int(a >= T[5]) + int(a >= T[6]) + int(a >= T[7])
+            + int(a >= T[8]) + int(a >= T[9]);
+  *dlo = d;
+  if (!neg)
+    *dhi = (a + 1 == T[d + 1]) ? (d == 9 ? 1 : d + 1) : d;
+  else
+    *dhi = (a == T[d]) ? (d == 1 ? 9 : d - 1) : d;
+}
+
+// Default is the DIVIDE form — the interleaved A/B (tools/njadbench.py,
+// 2026-08-19, pink noise @20-bit: ladder 0.887x of div) showed the
+// ladder LOSES ~11%: the per-sample critical path is the double-
+// precision histogram feedback (counts update -> next error terms), so
+// the divide's latency hides under it and the ladder's extra uops only
+// add issue pressure. DSDKIT_NJAD_DIGIT=ladder keeps the variant
+// exercisable (bit-identity pinned in tests) if the trade flips on a
+// wider core. Read per quantize CALL (per ~1 s tile), never per sample.
+bool use_div_digit() {
+  const char* e = getenv("DSDKIT_NJAD_DIGIT");
+  return !(e && strcmp(e, "ladder") == 0);
 }
 
 // Distance of the histogram (with candidate digit d added) from Benford.
@@ -141,6 +204,7 @@ namespace {
 // already parallel: the CLI pool runs one Converter per file, each with
 // its own NjadState). Per-channel processing is byte-identical to the
 // old interleaved loop by construction (pinned in tests).
+template <bool USE_DIV>
 void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
                       size_t frames, uint32_t channels, uint32_t c,
                       double scale, int bits) {
@@ -148,9 +212,11 @@ void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
     {
       double x = double(in[i * channels + c]) * scale;
       double lo = std::floor(x), hi = lo + 1.0;
+      long long ilo = (long long)lo;
       int dlo, dhi;
-      digit_pair((long long)lo, &dlo, &dhi);
-      double pick;
+      if (USE_DIV) digit_pair_div(ilo, &dlo, &dhi);
+      else digit_pair_thr(ilo, &dlo, &dhi);
+      bool take_hi;
       int dpick;
       if (dlo > 0 && dhi > 0) {
         // Both candidates add one count, so the normalizing total is
@@ -166,8 +232,8 @@ void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
         double ehi = cs.counts[dhi] - kBenford[dhi] * tp;
         double glo = elo >= 0.0 ? 1.0 : (elo <= -1.0 ? -1.0 : 2.0 * elo + 1.0);
         double ghi = ehi >= 0.0 ? 1.0 : (ehi <= -1.0 ? -1.0 : 2.0 * ehi + 1.0);
-        if (glo <= ghi) { pick = lo; dpick = dlo; }
-        else { pick = hi; dpick = dhi; }
+        take_hi = glo > ghi;
+        dpick = take_hi ? dhi : dlo;
       } else {
         // A candidate is 0 (lo is 0 or -1): the full two-score compare
         // depends only on the histogram — memoized per case on the
@@ -183,8 +249,8 @@ void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
           cs.memo_version[icase] = cs.version;
           cs.memo_take_lo[icase] = take_lo;
         }
-        if (take_lo) { pick = lo; dpick = dlo; }
-        else { pick = hi; dpick = dhi; }
+        take_hi = !take_lo;
+        dpick = take_hi ? dhi : dlo;
       }
       if (dpick > 0) {
         cs.counts[dpick] += 1.0;
@@ -195,7 +261,8 @@ void quantize_channel(ChannelState& cs, const float* in, int32_t* out,
           cs.total *= 0.5;
         }
       }
-      out[i * channels + c] = clip((long long)std::llround(pick), bits);
+      // pick is ilo or ilo+1 exactly — no float round-trip needed
+      out[i * channels + c] = clip(ilo + (take_hi ? 1 : 0), bits);
     }
   }
 }
@@ -225,13 +292,16 @@ DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
   auto* st = static_cast<NjadState*>(handle);
   if (channels != st->channels || bits < 2 || bits > 32) return -1;
   double scale = double(1ll << (bits - 1));
+  // one env read per call; the template instantiation keeps the digit
+  // variant choice out of the per-sample loop entirely
+  auto* qc = use_div_digit() ? &quantize_channel<true>
+                             : &quantize_channel<false>;
   unsigned nt = njad_threads(channels);
   if (nt <= 1 || frames < 4096) {
     // fresh threads per call are ~25 us; skip them when the walk itself
     // is that small
     for (uint32_t c = 0; c < channels; ++c)
-      quantize_channel(st->ch[c], in, out, frames, channels, c, scale,
-                       bits);
+      qc(st->ch[c], in, out, frames, channels, c, scale, bits);
     return 0;
   }
   // quantize is called once per ~1 s engine tile (a handful of times
@@ -242,8 +312,7 @@ DSDKIT_API int dsdkit_njad_quantize(void* handle, const float* in,
   std::atomic<uint32_t> cursor{0};
   auto work = [&] {
     for (uint32_t c; (c = cursor.fetch_add(1)) < channels;)
-      quantize_channel(st->ch[c], in, out, frames, channels, c, scale,
-                       bits);
+      qc(st->ch[c], in, out, frames, channels, c, scale, bits);
   };
   std::vector<std::thread> ts;
   ts.reserve(nt - 1);

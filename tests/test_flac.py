@@ -633,3 +633,39 @@ def test_njad_threaded_byte_identical(monkeypatch):
     native.njad_free(st)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(r, g)
+
+
+def test_njad_digit_variants_bit_identical(monkeypatch):
+    """digit_pair has two compiled forms (integer divide, default;
+    threshold ladder, DSDKIT_NJAD_DIGIT=ladder — measured slower under
+    the feedback loop but kept exercisable). They must agree everywhere,
+    especially at digit boundaries (99->100, 999->1000, -100->-99 and
+    the decade-drop cases). Values < 2^24 survive the float32 input
+    exactly, so the boundary set reaches the quantizer unrounded."""
+    import os
+
+    bounds = []
+    for p10 in [1, 10, 100, 1000, 10**4, 10**5, 10**6, 10**7]:
+        for d in range(1, 10):
+            for off in (-2, -1, 0, 1, 2):
+                v = d * p10 + off
+                if 0 < v < 2 ** 24:
+                    bounds.extend([v, -v])
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        np.array(bounds, dtype=np.int64),
+        rng.integers(-2 ** 23, 2 ** 23, 20000),
+        np.zeros(64, dtype=np.int64),  # silence memo path
+    ])
+    x = (vals.astype(np.float64) / 2 ** 31).astype(np.float32)
+    x = np.stack([x, x[::-1]], axis=1)
+
+    monkeypatch.delitem(os.environ, "DSDKIT_NJAD_DIGIT", raising=False)
+    st = native.njad_new(2)
+    ref = native.njad_quantize(st, x, 32)
+    native.njad_free(st)
+    monkeypatch.setitem(os.environ, "DSDKIT_NJAD_DIGIT", "ladder")
+    st = native.njad_new(2)
+    got = native.njad_quantize(st, x, 32)
+    native.njad_free(st)
+    np.testing.assert_array_equal(ref, got)
