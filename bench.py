@@ -96,7 +96,6 @@ class _CountingOut(io.RawIOBase):
 
 def main(e2e: bool = False) -> None:
     import jax
-    import jax.numpy as jnp
 
     if jax.default_backend() != "tpu":
         # A CPU number recorded under a TPU metric name would poison the
@@ -130,8 +129,10 @@ def main(e2e: bool = False) -> None:
     step, make_state, prep, layout = _cached_step(
         (FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800), cfg,
         want_planes=True)
-    digest = jax.jit(lambda p: jnp.stack(
-        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    import timing
+
+    digest = timing.make_digest()
 
     rng = np.random.default_rng(0)
     n_tiles = 8
@@ -146,15 +147,15 @@ def main(e2e: bool = False) -> None:
         staged = [chunked_device_put(prep(t)) for t in host_tiles]
         jax.block_until_ready(staged)
 
-    def run_once() -> float:
-        """Dispatch all tiles (streaming state chains them on device) and
-        sync once at the end: every tile's PCM is materialized (jit
-        outputs are always written) and the digests depend on every
-        sample. Per-tile host syncs would only measure the tunnel's
-        25-45 ms scalar round-trip jitter, not the device."""
+    def run_e2e() -> float:
+        """Full-path variant: per-tile H2D upload + device step + D2H
+        drain with a one-deep pipeline (CLAUDE.md: never a bare host
+        sync in a per-tile loop — D2H+host-interleave of tile i-1
+        overlaps tile i's upload+compute, like the engine's drain
+        worker; a serial drain counted 8 full tunnel round-trips as
+        framework time)."""
         state = make_state()
         t0 = time.perf_counter()
-        digests = []
 
         def drain(dev_out) -> None:
             # the kernel emitted wire byte planes; one native host pass
@@ -170,32 +171,23 @@ def main(e2e: bool = False) -> None:
 
         pending = None  # tile i-1's device output, drained while i runs
         for i in range(n_tiles):
-            x = (chunked_device_put(prep(host_tiles[i])) if e2e
-                 else staged[i])
+            x = chunked_device_put(prep(host_tiles[i]))
             out, peak, state = step(x, state, i)
-            if e2e:
-                # one-deep pipeline (CLAUDE.md: never a bare host sync
-                # in a per-tile loop): D2H+host-interleave of tile i-1
-                # overlaps tile i's upload+compute, like the engine's
-                # drain worker — a serial drain counted 8 full tunnel
-                # round-trips as framework time
-                this = out if layout is not None else pack24_device(out)
-                if pending is not None:
-                    drain(pending)
-                pending = this
-            else:
-                digests.append(digest(out))
-        if e2e and pending is not None:
+            this = out if layout is not None else pack24_device(out)
+            if pending is not None:
+                drain(pending)
+            pending = this
+        if pending is not None:
             drain(pending)
-        if not e2e:
-            # one REAL host sync: np.asarray (block_until_ready on small
-            # buffers returns early through the axon tunnel). Summing all
-            # digests makes the sync depend on every tile's full PCM.
-            np.asarray(jnp.stack(digests).sum(axis=0))
         return time.perf_counter() - t0
 
+    # device-only mode is the shared harness verbatim (tools/timing.py:
+    # digest chain + ONE host sync at the end)
+    run_once = run_e2e if e2e else (
+        lambda: timing.timed_run(step, make_state, staged, digest))
+
     run_once()  # compile + warmup
-    best = min(run_once() for _ in range(3))
+    best = timing.min_of(run_once, 3)
 
     audio_seconds = n_tiles * tile_bytes * 8 / in_hz
     xrt = audio_seconds / best

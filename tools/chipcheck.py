@@ -283,11 +283,10 @@ def main() -> int:
 
     if args.perf:
         print("\nthroughput (24-bit TPDF, 16 MiB tiles, device-only):")
-        digest = jax.jit(lambda p: jnp.stack(
-            [jnp.sum(p).astype(jnp.float32),
-             jnp.max(p).astype(jnp.float32)]))
+        import timing
+
+        digest = timing.make_digest()
         from dsd2dxd_tpu.pipeline.engine import _cached_step
-        from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
 
         for rate_name, out_hz in cells:
             rate = DsdRate[rate_name]
@@ -303,24 +302,14 @@ def main() -> int:
             step, make_state, prep, _layout = _cached_step(
                 (FilterType.EQUIRIPPLE, rate, out_hz), cfg,
                 want_planes=True)
-            tiles = [chunked_device_put(prep(
-                rng.integers(0, 256, size=(2, big), dtype=np.uint8)))
-                for _ in range(6)]
-            jax.block_until_ready(tiles)
+            tiles = timing.stage_tiles(prep, rng, big, n_tiles=6)
 
-            def run():
-                state = make_state()
-                t0 = time.perf_counter()
-                ds = []
-                for i, xt in enumerate(tiles):
-                    out, pk, state = step(xt, state, i)
-                    ds.append(digest(out))
-                np.asarray(jnp.stack(ds).sum(axis=0))
-                return time.perf_counter() - t0
+            def run(tiles=tiles, step=step, make_state=make_state):
+                return timing.timed_run(step, make_state, tiles, digest)
 
             run()
-            best = min(run() for _ in range(3))
-            xrt = len(tiles) * big * 8 / rate.hz / best
+            best = timing.min_of(run, 3)
+            xrt = timing.xrt(len(tiles) * big * 8 / rate.hz, best)
             print(f"  {rate_name}->{out_hz}: {xrt:.0f}x RT")
 
     print(f"\n{failures} failures")
