@@ -580,21 +580,28 @@ def fused_plan(chain: Sequence[Stage]):
 def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
     """Grid block (input bytes per Pallas grid step) for `chain`.
 
-    The kernel has a ~5.7 us per-16KiB-block floor (block DMA + the
+    The kernel has a tap-independent per-block floor (block DMA + the
     8G-phase unpack + epilogue — measured on chip with a minimal-taps
-    chain, round 3). High-input-rate cells chew 4-8x more input blocks
-    per audio second, so the floor taxes them hardest in real-time
-    units; a 64 KiB block amortizes it (DSD512->352.8k measured
-    500->560x RT on chip; 128 KiB was no better and 256 KiB fails to
-    compile). Shallow/low-rate cells keep the 16 KiB default: the
-    larger working set buys them nothing measurable.
+    chain, round 3), so a bigger block amortizes it. Round-3 widened
+    deep (DSD256/512-input) cells to 64 KiB (DSD512->352.8k 500->560x);
+    the round-4 same-run sweeps widened the SHALLOW cells too —
+    16->64 KiB measured +6-15% on every G>=2 cell tried (DSD64->88.2k
+    4946->5371x, DSD64->176.4k 4417->4685x, DSD128->88.2k 2119->2345x,
+    DSD128->176.4k 2590->2989x, DSD256->705.6k 1160->1176x) — so the
+    old `deep` gate is gone for G>=2.
 
-    ``in_hz`` (the DSD bit rate) is the eligibility key — block count
-    per audio second is input bytes, not chain decimation, and the
-    chain alone cannot recover it (a ÷64 chain is DSD128->88.2k as
-    much as DSD512->352.8k). Callers that omit it get the measured
-    16 KiB default, so every path that can know the rate must pass it
-    or it will compile a different kernel than the engine's.
+    The hard limit is block LANES, not bytes (the kernel unpacks 8G
+    phase rows over the lane block, so VMEM scales with block_bytes/G):
+    32768 lanes compiles and wins at G=2 (64 KiB); 65536 lanes fails
+    Mosaic compilation (G=1 at 64 KiB, G=2 at 128 KiB, G=4 at 256 KiB).
+    G=4 at 32768 lanes (128 KiB) compiled but measured no better than
+    64 KiB (round 3), so bytes cap at 64 KiB. G=1 cells split on input
+    rate (same-run 16-vs-32 KiB A/B, r4): DSD64->352.8k LOSES -2% while
+    DSD128->705.6k +4% and DSD256->1411.2k +6% (976->1035x) — the
+    per-block tax scales with blocks per audio second — so G=1 takes
+    32 KiB at DSD128-and-up input rates only. That makes ``in_hz``
+    load-bearing for G=1: callers that omit it get 16 KiB and compile a
+    DIFFERENT kernel than the engine's for those cells.
 
     Applies to both the plain fused step and the rational step's head
     (the decimation the kernel itself runs is what sets block count)."""
@@ -607,13 +614,12 @@ def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
         if plan is None:  # pragma: no cover - rational implies plain head
             return DEFAULT_BLOCK_BYTES
     _n_head, g, r_tail = plan
-    deep = in_hz is not None and in_hz >= 11_289_600
-    # The limit is block LANES, not bytes: the kernel unpacks 8G phase
-    # rows over the lane block, so VMEM scales with block_bytes/G.
-    # 16384 lanes compiles everywhere (measured); 65536 lanes fails
-    # Mosaic compilation (DSD256->1411.2k g=1 at 64 KiB, 256 KiB g=4).
-    bb = min(DEEP_BLOCK_BYTES, g * 16384)
-    if (not deep or bb <= DEFAULT_BLOCK_BYTES
+    if g >= 2:
+        cap_lanes = 32768
+    else:
+        cap_lanes = 32768 if (in_hz or 0) >= 5_644_800 else 16384
+    bb = min(DEEP_BLOCK_BYTES, g * cap_lanes)
+    if (bb <= DEFAULT_BLOCK_BYTES
             or bb % (g * 128) != 0 or (bb // g) % r_tail != 0):
         return DEFAULT_BLOCK_BYTES
     return bb

@@ -688,10 +688,13 @@ def test_kernel_covers_implies_step_constructs():
 
 
 def test_pick_block_bytes_policy():
-    """High-input-rate cells get the 64 KiB grid block (amortizes the
-    measured ~5.7us per-16KiB-block kernel floor); DSD64/128 keep the
-    16 KiB default. The chosen block must satisfy the kernel's own
-    alignment constraints for the cell it's chosen for."""
+    """Round-4 policy: every G>=2 cell gets the 64 KiB grid block
+    (same-run 16->64 KiB sweeps measured +6-15% on shallow cells too,
+    so the old deep-only gate is gone there); G=1 cells take 32 KiB at
+    DSD128-and-up input rates only (same-run A/B: DSD64->352.8k loses,
+    DSD128->705.6k and DSD256->1411.2k win). The chosen block must
+    satisfy the kernel's own alignment constraints for the cell it's
+    chosen for; in_hz is load-bearing only for G=1."""
     from dsd2dxd_tpu.ops.fused import (
         DEEP_BLOCK_BYTES,
         DEFAULT_BLOCK_BYTES,
@@ -709,23 +712,22 @@ def test_pick_block_bytes_policy():
             plan = fused_plan(chain) or fused_plan(
                 chain[:fused_rational_plan(chain)])
             _, g, r_tail = plan
-            if rate.hz >= DsdRate.DSD256.hz and g > 1:
-                # lane-capped: block lanes never exceed 16384 (VMEM)
-                assert bb == min(DEEP_BLOCK_BYTES, g * 16384), (rate, out_hz)
+            if g > 1:
+                # byte-capped at 64 KiB; lanes never exceed 32768
+                assert bb == DEEP_BLOCK_BYTES, (rate, out_hz)
+                assert bb // g <= 32768
+                # G>=2 no longer depends on the rate
+                assert pick_block_bytes(chain) == bb
+            elif rate.hz >= DsdRate.DSD128.hz:
+                assert bb == 2 * DEFAULT_BLOCK_BYTES, (rate, out_hz)
             else:
                 assert bb == DEFAULT_BLOCK_BYTES, (rate, out_hz)
             assert bb % (g * 128) == 0 and (bb // g) % r_tail == 0
-    # rate-less calls get the measured default — the chain alone cannot
-    # recover the input rate (a ÷64 chain is DSD128->88.2k as much as
-    # DSD512->352.8k), so there is deliberately NO decimation proxy
-    deep = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD512, 352800)
-    shallow = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
-    assert pick_block_bytes(deep) == DEFAULT_BLOCK_BYTES
-    assert pick_block_bytes(shallow) == DEFAULT_BLOCK_BYTES
-    # the same ÷64 chain IS deep at DSD512 and NOT at DSD128
-    div64 = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD128, 88200)
-    assert pick_block_bytes(div64, DsdRate.DSD128.hz) == DEFAULT_BLOCK_BYTES
-    assert pick_block_bytes(deep, DsdRate.DSD512.hz) == DEEP_BLOCK_BYTES
+    # G=1 needs the rate: rate-less callers get the conservative default
+    g1_deep = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 1411200)
+    assert pick_block_bytes(g1_deep) == DEFAULT_BLOCK_BYTES
+    assert pick_block_bytes(g1_deep, DsdRate.DSD256.hz) == (
+        2 * DEFAULT_BLOCK_BYTES)
 
 
 def test_mxu_head_optin_matches_phase():
