@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -52,12 +51,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    import timing
+
     from dsd2dxd_tpu.filters.design import get_chain
     from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
     from dsd2dxd_tpu.ops import fused
     from dsd2dxd_tpu.ops.resample import StepConfig
     from dsd2dxd_tpu.pipeline.engine import _tile_bytes_for
-    from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
 
     if jax.default_backend() != "tpu":
         print(f"ERROR: backend is {jax.default_backend()}", file=sys.stderr)
@@ -76,8 +76,7 @@ def main() -> int:
     blocks = BLOCKS if not args.blocks else [
         int(b) for b in args.blocks.split(",")]
     rng = np.random.default_rng(0)
-    digest = jax.jit(lambda p: jnp.stack(
-        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
+    digest = timing.make_digest()
 
     for rate_name, out_hz in cells:
         rate = DsdRate[rate_name]
@@ -116,29 +115,20 @@ def main() -> int:
             except Exception as e:  # alignment/VMEM constraints
                 print(f"  block={bb:>7}: build failed: {e}")
                 continue
-            tiles = [chunked_device_put(fused.prep_input(
-                rng.integers(0, 256, size=(2, big), dtype=np.uint8), g))
-                for _ in range(6)]
-            jax.block_until_ready(tiles)
+            tiles = timing.stage_tiles(
+                lambda a, g=g: fused.prep_input(a, g), rng, big, n_tiles=6)
 
             def run():
-                state = make_state()
-                t0 = time.perf_counter()
-                ds = []
-                for i, xt in enumerate(tiles):
-                    out, pk, state = step(xt, state, i)
-                    ds.append(digest(out))
-                np.asarray(jnp.stack(ds).sum(axis=0))
-                return time.perf_counter() - t0
+                return timing.timed_run(step, make_state, tiles, digest)
 
             try:
-                run()
+                run()  # warm: first dispatch is where Mosaic fails
             except Exception as e:
                 print(f"  block={bb:>7}: run failed: "
                       f"{str(e).splitlines()[0][:120]}")
                 continue
-            best = min(run() for _ in range(3))
-            xrt = len(tiles) * big * 8 / rate.hz / best
+            best = timing.min_of(run, 3)
+            xrt = timing.xrt(len(tiles) * big * 8 / rate.hz, best)
             us_per_16k = best / (len(tiles) * big / 16384) * 1e6
             print(f"  block={bb:>7}: {xrt:6.0f}x RT   "
                   f"{us_per_16k:6.2f} us per 16KiB-equivalent")

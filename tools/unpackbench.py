@@ -19,9 +19,7 @@ from __future__ import annotations
 
 import argparse
 import pathlib
-import statistics
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -47,12 +45,13 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    import timing
+
     from dsd2dxd_tpu.filters.design import get_chain
     from dsd2dxd_tpu.formats.dsd_types import DitherType, DsdRate, FilterType
     from dsd2dxd_tpu.ops import fused
     from dsd2dxd_tpu.ops.resample import StepConfig
     from dsd2dxd_tpu.pipeline.engine import _tile_bytes_for
-    from dsd2dxd_tpu.pipeline.transfer import chunked_device_put
 
     if jax.default_backend() != "tpu":
         print(f"ERROR: backend is {jax.default_backend()}", file=sys.stderr)
@@ -63,8 +62,7 @@ def main() -> int:
         cells = [(n, int(o)) for n, o in
                  (c.split(":") for c in args.cells.split(","))]
     rng = np.random.default_rng(0)
-    digest = jax.jit(lambda p: jnp.stack(
-        [jnp.sum(p).astype(jnp.float32), jnp.max(p).astype(jnp.float32)]))
+    digest = timing.make_digest()
 
     for rate_name, out_hz in cells:
         rate = DsdRate[rate_name]
@@ -101,20 +99,11 @@ def main() -> int:
             print(f"{rate_name}->{out_hz}: build failed: "
                   f"{str(e).splitlines()[0][:160]}")
             continue
-        tiles = [chunked_device_put(fused.prep_input(
-            rng.integers(0, 256, size=(2, big), dtype=np.uint8), g))
-            for _ in range(6)]
-        jax.block_until_ready(tiles)
+        tiles = timing.stage_tiles(
+            lambda a, g=g: fused.prep_input(a, g), rng, big, n_tiles=6)
 
         def run(step):
-            state = make_state()
-            t0 = time.perf_counter()
-            ds = []
-            for i, xt in enumerate(tiles):
-                out, pk, state = step(xt, state, i)
-                ds.append(digest(out))
-            np.asarray(jnp.stack(ds).sum(axis=0))
-            return time.perf_counter() - t0
+            return timing.timed_run(step, make_state, tiles, digest)
 
         # warm both compiles, then interleaved pairs; first dispatch is
         # where Mosaic compilation actually fails — skip the cell, not
@@ -125,15 +114,11 @@ def main() -> int:
             print(f"{rate_name}->{out_hz}: run failed: "
                   f"{str(e).splitlines()[0][:160]}")
             continue
-        ratios, ta_all, tb_all = [], [], []
-        for _ in range(args.pairs):
-            ta = run(steps["bitcast"])
-            tb = run(steps["signmask"])
-            ratios.append(ta / tb)
-            ta_all.append(ta)
-            tb_all.append(tb)
+        ta_all, tb_all, med = timing.interleaved_pairs(
+            lambda: run(steps["bitcast"]),
+            lambda: run(steps["signmask"]), args.pairs)
+        ratios = [a / b for a, b in zip(ta_all, tb_all)]
         audio = len(tiles) * big * 8 / rate.hz
-        med = statistics.median(ratios)
         print(f"{rate_name}->{out_hz} block={bb} "
               f"({'rational' if rational else 'plain'}): "
               f"bitcast {audio / min(ta_all):6.0f}x  "
