@@ -29,18 +29,20 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 # real E-bank DSD512->352.8k structure (6 x /2; last stage is the sharp
-# one and runs a-trous in-kernel)
+# one and runs a-trous in-kernel). --stages 5 truncates to a /32
+# structure (all-head, r_tail=1, the DSD64..256 -> 44.1k-family shape)
+# to measure the floor WITHOUT the a-trous tail's undecimated waste.
 REAL_TAPS = (18, 18, 22, 16, 18, 58)
 
 
-def synth_chain(scale: float):
-    """Pure /64 chain with REAL_TAPS counts scaled by `scale` (min 2
-    taps — the kernel needs at least one term per phase). Taps are
+def synth_chain(scale: float, n_stages: int = len(REAL_TAPS)):
+    """Pure /2^n chain with REAL_TAPS[:n] counts scaled by `scale` (min
+    2 taps — the kernel needs at least one term per phase). Taps are
     normalized hann windows: numerically tame, gain ~1."""
     from dsd2dxd_tpu.filters.design import Stage
 
     stages = []
-    for n in REAL_TAPS:
+    for n in REAL_TAPS[:n_stages]:
         m = max(2, int(round(n * scale)) & ~1)  # even, >= 2
         h = np.hanning(m + 2)[1:-1]
         h = (h / h.sum()).astype(np.float64)
@@ -56,6 +58,9 @@ def main() -> int:
     ap.add_argument("--block", type=int, default=None,
                     help="input bytes per grid step (default: engine policy)")
     ap.add_argument("--tile-mib", type=int, default=16)
+    ap.add_argument("--stages", type=int, default=len(REAL_TAPS),
+                    help="number of /2 stages (6 = real /64 a-trous "
+                         "structure, 5 = /32 all-head r_tail=1)")
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +80,7 @@ def main() -> int:
     scales = (0.0, 0.25, 0.5, 1.0)
     dithers = (DitherType.NONE, DitherType.TPDF)
     for scale in scales:
-        chain = synth_chain(scale)
+        chain = synth_chain(scale, args.stages)
         _n_head, g, _r_tail = fused.fused_plan(chain)
         bb = args.block or fused.pick_block_bytes(chain, in_hz)
         tile = (args.tile_mib * 1024 * 1024 // bb) * bb
@@ -83,10 +88,13 @@ def main() -> int:
             tile = bb * 2
         n_el = 0  # FMA elements per 16KiB block (cost-model bookkeeping)
         p_out = 8 * g
-        for s in chain[:5]:
-            p_out //= 2
-            n_el += s.n_taps * p_out * (16384 // g)
-        n_el += chain[5].n_taps * (16384 // g)  # a-trous, undecimated
+        lanes16 = 16384 // g
+        for s in chain:
+            if p_out > 1:
+                p_out //= 2
+                n_el += s.n_taps * p_out * lanes16
+            else:
+                n_el += s.n_taps * lanes16  # a-trous, undecimated
         row = [f"scale={scale:4.2f} taps={[s.n_taps for s in chain]} "
                f"g={g} block={bb} ({n_el / 1e6:.2f}M el/16KiB):"]
         for dither in dithers:

@@ -16,21 +16,19 @@ Components modeled per audio-second (stereo, 24-bit planes):
 - ``floor``   — the measured tap-independent cost of moving one input
                 byte through the kernel (block DMA + 8G-row unpack +
                 Mosaic op/layout overhead + epilogue structure):
-                5.7 us per 16 KiB of per-channel input, measured on
-                chip with a minimal-taps chain (round 3, CLAUDE.md),
-                split ~89% per-byte / ~11% per-block from the 16->64 KiB
-                grid-block A/B. NOTE: predates the bitcast/signmask
-                unpack variants — cells measured after those land at
-                up to ~130% of the model until the queued floorprof
-                run recalibrates the constant.
+                7.17 us per 16 KiB of per-channel input — the pooled
+                zero-element intercept of the round-4 HEAD floorprof
+                sweeps (tools/floorprof.py at 16 KiB and 64 KiB grid
+                blocks; see the constant's comment for the fit).
 - ``fir``     — FIR work alone: exact slice-FMA element counts from the
                 phase plans via the kernel's own need[] recursion +
                 undecimated a-trous tail elements + epilogue, at the
                 VPU's ~0.96e12 vector elements/s (8 sublanes x 128
                 lanes x ~0.94 GHz). Rational cells add their x160/147
-                MXU tail at MXU rate; the tail's XLA dispatch overhead
-                is NOT modeled, which is exactly why rational cells
-                measure 40-90% of model — that gap IS the overhead.
+                tail at its MEASURED on-chip cost per output value
+                (see TAIL_S_PER_OUT_VALUE in cell_model) — the pure
+                MXU MAC time is negligible; the layout/dispatch work
+                around the einsum is what costs.
 - ``model``   — floor + fir, serial. ``floor%`` is the floor's share of
                 model time: high means round-4 effort belongs on
                 per-lane overheads, low means on FMA reduction.
@@ -62,11 +60,20 @@ from dsd2dxd_tpu.ops import fused  # noqa: E402
 # ---- hardware constants (TPU v5e, one core) -------------------------------
 HBM_BW = 819e9          # bytes/s, v5e public spec
 VPU_ELEMS = 0.96e12     # vector elements/s: 8 sublanes x 128 lanes x ~0.94 GHz
-# Measured minimal-taps kernel cost: 5.7 us per 16 KiB grid block,
-# split ~89% per-byte / ~11% per-block by the 16->64 KiB block A/B
-# (CLAUDE.md). Recalibrate BOTH from the queued floorprof run.
-FLOOR_S_PER_BYTE = 5.07e-6 / 16384
-FLOOR_S_PER_BLOCK = 0.63e-6
+# Recalibrated from the round-4 on-chip floorprof sweeps at HEAD
+# (tools/floorprof.py, logs /tmp/chip_floorprof{,16}_r4.log): linear
+# fit of us/16KiB-of-per-channel-input vs slice-FMA element count over
+# scale = 0/0.25/0.5/1.0 of the real DSD512->352.8k tap structure.
+# Zero-element intercepts: 7.26 us (64 KiB blocks) and 7.08 us
+# (16 KiB blocks) — equal within the ~8% cross-run tunnel noise, so
+# the per-BLOCK floor component is unresolvable and modeled as 0; the
+# real-chain 16->64 KiB wins (+6-15%, blockbench same-run A/Bs) ride
+# the halo-redundancy term the exact FMA accounting below already
+# models (bigger k_sub = less overproduction per output lane).
+# Measured FMA slope: 1.12 us/M el at 64 KiB (vs the 1.04 analytic
+# VPU rate used below), 1.45 at 16 KiB (noisy arm).
+FLOOR_S_PER_BYTE = 7.17e-6 / 16384
+FLOOR_S_PER_BLOCK = 0.0
 UNPACK_OPS = 3          # bitcast unpack: int ops per stream bit (default)
 EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 
@@ -79,7 +86,10 @@ def _measured() -> dict:
     late round-3 floor levers — see BENCH_r03_local's
     late_round3_floor_levers). max() means a refreshed matrix
     automatically supersedes the lever arms."""
-    p = Path(__file__).resolve().parent.parent / "BENCH_r03_local.json"
+    root = Path(__file__).resolve().parent.parent
+    p = root / "BENCH_r04_local.json"
+    if not p.exists():
+        p = root / "BENCH_r03_local.json"
     if not p.exists():
         return {}
     bench = json.loads(p.read_text())
@@ -191,13 +201,19 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     fma = fir_elems * subblocks_per_s * CHANNELS
     epilogue = out_hz * CHANNELS * EPILOGUE_OPS
 
-    # rational cells: the x160/147 banded-natural tail is one dense
-    # (160, 164) einsum per 160 outputs on the MXU (Precision.HIGHEST =
-    # 6 bf16 passes). Modeled at MXU rate; its XLA dispatch/fusion
-    # overhead is NOT modeled — rational cells' gap to the model is
-    # dominated by exactly that overhead.
-    MXU_MACS = 98.5e12  # v5e ~197 TFLOPS bf16
-    t_mxu = (out_hz * 164 * 6 * CHANNELS) / MXU_MACS if rational else 0.0
+    # rational cells: the x160/147 banded-natural tail (one dense
+    # (160, 164) einsum per 160 outputs, Precision.HIGHEST). Pure MXU
+    # MAC time is negligible (~1e-5 s/audio-s); the real cost is the
+    # XLA layout/elementwise work around the einsum, so the model uses
+    # the MEASURED production-tail cost instead: 2.98 ms per 13.65 s
+    # audio at 192k stereo on chip (tools/tailbanded.py "natural",
+    # /tmp/chip_tailprec_r4.log) = 5.69e-10 s per output value, scaled
+    # by output sample rate. Single-point calibration: per-value cost
+    # at other tile sizes/rates varies with dispatch amortization
+    # (DSD64 cells run 4x larger audio windows per tile), which is the
+    # named residual for rational cells off the model.
+    TAIL_S_PER_OUT_VALUE = 5.69e-10
+    t_mxu = out_hz * CHANNELS * TAIL_S_PER_OUT_VALUE if rational else 0.0
 
     t_hbm = (in_bytes * redundancy + out_bytes) / HBM_BW
     n_blocks_per_s = (in_hz / 8) / block_bytes
@@ -243,7 +259,7 @@ def main() -> None:
             m = cell_model(rate, hz)
             meas = measured.get((rate.name, hz))
             pct = f"{100 * meas / m['xrt_model']:.0f}%" if meas else "-"
-            tag = " (tail unmodeled)" if m["rational"] else ""
+            tag = " (tail=measured const)" if m["rational"] else ""
             print(f"{rate.name:>8}->{hz / 1000:>7.1f}k "
                   f"{meas or '-':>6} {m['xrt_model']:>6.0f} {pct:>6} "
                   f"{m['xrt_floor']:>7.0f} {m['xrt_fir']:>7.0f} "
