@@ -973,7 +973,8 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              interpret: bool = False, jit: bool = True,
                              emit: str = "frames", out_shift: int = 0,
                              mxu: bool | None = None,
-                             unpack: str | None = None):
+                             unpack: str | None = None,
+                             tail_block: int | None = None):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
 
@@ -1006,6 +1007,7 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         finish_tile,
         interleave_phases,
         plan_banded_natural,
+        plan_banded_natural_blocks,
         stage_apply_phase,
         stage_apply_phase_matmul,
         stage_apply_rational_natural,
@@ -1044,10 +1046,19 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         # (tools/tailbanded.py, 2026-08-17).
         band = jnp.asarray(banded[0], dtype=dtype)
         nhist = banded[1]
+        # tail_block: row-block the band (plan_banded_natural_blocks) —
+        # same taps/accumulation, ~3.4x fewer MACs at block=32. Opt-in
+        # until a same-run interleaved chip A/B decides the default
+        # (tools/tailbanded.py --ab).
+        blocks = None
+        if tail_block:
+            blocks = [(lo, jnp.asarray(pan, dtype=dtype)) for lo, pan in
+                      plan_banded_natural_blocks(banded[0], tail_block)]
 
         def tail(y, hist):
             return stage_apply_rational_natural(y.astype(dtype), hist,
-                                                plan, band, nhist)
+                                                plan, band, nhist,
+                                                blocks=blocks)
     else:
         coefs, n_terms = build_chain_coefs((plan,), dtype)
         apply = (stage_apply_phase_matmul

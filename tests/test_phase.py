@@ -220,3 +220,46 @@ def test_banded_natural_matches_matmul_streaming():
                                    np.asarray(zn), rtol=2e-5, atol=2e-6)
         # identical state convention: last p_in natural samples
         np.testing.assert_array_equal(np.asarray(h_m), np.asarray(h_n))
+
+
+def test_banded_natural_blocked_matches_unblocked():
+    """Row-blocking the natural band (plan_banded_natural_blocks) must
+    be taps-exact: each panel is a slice of the band, so the blocked
+    einsum reproduces the unblocked one to f32 summation-order noise,
+    and the panels jointly cover every nonzero of the band exactly
+    once. Gates the tail_block dispatch in make_fused_rational_step."""
+    from dsd2dxd_tpu.ops.phase import (
+        plan_banded_natural,
+        plan_banded_natural_blocks,
+        stage_apply_rational_natural,
+    )
+
+    stage = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 192000)[-1]
+    plan = build_plan(stage, p_in=1)
+    band_np, nhist = plan_banded_natural(plan)
+    for blk in (16, 32, 64):
+        blocks_np = plan_banded_natural_blocks(band_np, blk)
+        # exact coverage: reassembling the panels rebuilds the band
+        rebuilt = np.zeros_like(band_np)
+        r0 = 0
+        for lo, pan in blocks_np:
+            rebuilt[r0:r0 + pan.shape[0], lo:lo + pan.shape[1]] = pan
+            r0 += pan.shape[0]
+        assert r0 == band_np.shape[0]
+        np.testing.assert_array_equal(rebuilt, band_np)
+
+    band = jnp.asarray(band_np)
+    blocks = [(lo, jnp.asarray(pan))
+              for lo, pan in plan_banded_natural_blocks(band_np, 32)]
+    rng = np.random.default_rng(11)
+    h_a = jnp.zeros((2, plan.p_in, plan.hist_lanes), dtype=jnp.float32)
+    h_b = h_a
+    n = plan.p_in * 64
+    for _ in range(3):
+        y = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        za, h_a = stage_apply_rational_natural(y, h_a, plan, band, nhist)
+        zb, h_b = stage_apply_rational_natural(y, h_b, plan, band, nhist,
+                                               blocks=blocks)
+        np.testing.assert_allclose(np.asarray(za), np.asarray(zb),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))

@@ -104,6 +104,12 @@ def main() -> int:
                     help="CPU equivalence check only (small shapes)")
     ap.add_argument("--blocks", default="16,32",
                     help="block sizes for the block-banded MXU variant")
+    ap.add_argument("--ab", default=None,
+                    help="interleaved A/B of exactly two named variants "
+                         "(e.g. --ab natural,natblock32): alternating "
+                         "runs, median per-pair ratio — the only "
+                         "trustworthy protocol for promoting a variant")
+    ap.add_argument("--pairs", type=int, default=7)
     args = ap.parse_args()
     rate_name, out_hz = args.cell.split(":")
     out_hz = int(out_hz)
@@ -256,6 +262,36 @@ def main() -> int:
     for B in (int(b) for b in args.blocks.split(",")):
         variants.append((f"block{B}", to_nat(make_block(B))))
 
+    # production-path variants: plan_banded_natural(_blocks) +
+    # stage_apply_rational_natural — what make_fused_rational_step
+    # actually dispatches (tail_block=None / =B)
+    banded_nat = P.plan_banded_natural(plan)
+    if banded_nat is not None:
+        band_nat = jnp.asarray(banded_nat[0])
+        nhist_nat = banded_nat[1]
+
+        def f_prodnat(yy, hh):
+            return P.stage_apply_rational_natural(
+                yy, hh, plan, band_nat, nhist_nat)[0]
+
+        variants.append(("prodnat", f_prodnat))
+        for B in (int(b) for b in args.blocks.split(",")):
+            blocks_nb = [(lo, jnp.asarray(pan)) for lo, pan in
+                         P.plan_banded_natural_blocks(banded_nat[0], B)]
+
+            def f_natblock(yy, hh, blocks_nb=blocks_nb):
+                return P.stage_apply_rational_natural(
+                    yy, hh, plan, band_nat, nhist_nat,
+                    blocks=blocks_nb)[0]
+
+            variants.append((f"natblock{B}", f_natblock))
+
+    if args.ab:
+        want = args.ab.split(",")
+        assert len(want) == 2, "--ab takes exactly two variant names"
+        byname = dict(variants)
+        variants = [(n, byname[n]) for n in want]
+
     if args.check:
         ref = np.asarray(jax.jit(variants[0][1])(y_np, hist_np))
         scale = np.abs(ref).max()
@@ -309,6 +345,27 @@ def main() -> int:
         print(f"  {name:<8}: {t*1e3:7.2f} ms  ({secs/t:6.0f}x RT)  "
               f"err={err:.1e}  max={e64.max()/lsb24:7.2f} LSB24 "
               f"rms={np.sqrt((e64**2).mean())/lsb24:.3f}")
+
+    if args.ab:
+        import timing
+
+        (a_name, fa), (b_name, fb) = variants
+        ja, jb = jax.jit(fa), jax.jit(fb)
+
+        def run(f):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(6):
+                r = f(y, hist)
+            jax.block_until_ready(r)
+            return time.perf_counter() - t0
+
+        run(ja); run(jb)  # warm (accuracy loop used fresh jits)
+        ta, tb, med = timing.interleaved_pairs(
+            lambda: run(ja), lambda: run(jb), args.pairs)
+        print(f"A/B {a_name} vs {b_name}: median t_a/t_b = {med:.3f}  "
+              f"best a={min(ta)/6*1e3:.2f} ms b={min(tb)/6*1e3:.2f} ms  "
+              f"(pairs: {' '.join(f'{x/z:.3f}' for x, z in zip(ta, tb))})")
     return 0
 
 
