@@ -244,6 +244,45 @@ def main() -> int:
 
         return f_natural
 
+    # natsplit: the history term and the in-block term as SEPARATE
+    # einsums — the in-block operand is the plain (C,K,147) reshape of y
+    # (no 164-wide concat materialized; the only gathered operand is the
+    # tiny (C,K,17) previous-block tail), probing whether the natural
+    # form's cost is the window concat rather than the einsum.
+    def make_natsplit(prec):
+        assert U == p_in + nhist
+        Bh = Bm[:, :nhist]
+        Bmain = Bm[:, nhist:]
+
+        def f_natsplit(yy, hh):
+            hflat = P.interleave_phases(hh)[:, -nhist:]
+            c, n = yy.shape
+            k = n // p_in
+            yr = yy.reshape(c, k, p_in)
+            prev = jnp.concatenate(
+                [hflat[:, None, :], yr[:, :-1, p_in - nhist:]], axis=1)
+            z = (jnp.einsum("ckv,pv->ckp", yr, Bmain,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                 + jnp.einsum("cku,pu->ckp", prev, Bh,
+                              preferred_element_type=jnp.float32,
+                              precision=prec))
+            return z.reshape(c, k * p_out)
+
+        return f_natsplit
+
+    # natmain: DIAGNOSTIC ONLY (drops the history term — output is
+    # wrong, ignore its err columns): the in-block einsum by itself,
+    # isolating the irreducible matmul+reshape cost of the natural form.
+    def f_natmain(yy, hh):
+        c, n = yy.shape
+        k = n // p_in
+        yr = yy.reshape(c, k, p_in)
+        z = jnp.einsum("ckv,pv->ckp", yr, Bm[:, nhist:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return z.reshape(c, k * p_out)
+
     # every variant measured to NATURAL order (the production contract:
     # finish_tile consumes interleaved samples) — the phase-major
     # variants pay their interleave_phases transpose, natural doesn't.
@@ -259,6 +298,10 @@ def main() -> int:
                 # (which only measures distance from the f32 baseline).
                 ("nat-high", make_natural(jax.lax.Precision.HIGH)),
                 ("nat-bf16", make_natural(jax.lax.Precision.DEFAULT))]
+    if U == p_in + nhist:
+        variants.append(("natsplit", make_natsplit(
+            jax.lax.Precision.HIGHEST)))
+        variants.append(("natmain", f_natmain))
     for B in (int(b) for b in args.blocks.split(",")):
         variants.append((f"block{B}", to_nat(make_block(B))))
 
@@ -299,8 +342,10 @@ def main() -> int:
         for name, fn in variants[1:]:
             got = np.asarray(jax.jit(fn)(y_np, hist_np))
             err = np.abs(got - ref).max() / scale
-            print(f"  {name:<8}: max rel err vs matmul = {err:.3e}")
-            ok &= err < 1e-6
+            diag = name == "natmain"  # history term dropped by design
+            print(f"  {name:<8}: max rel err vs matmul = {err:.3e}"
+                  + ("  (diagnostic, not gated)" if diag else ""))
+            ok &= diag or err < 1e-6
         print("EQUIVALENCE", "OK" if ok else "FAIL")
         return 0 if ok else 1
 
