@@ -541,6 +541,50 @@ def _build_kernel(plans, coef_tables, cfg: StepConfig, k_sub: int,
 _WORD_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 
 
+def _take_phase0(x, r: int):
+    """Every r-th minor-axis lane of 2D ``x`` — in its cheapest form.
+
+    The à-trous tail leaves the kernel undecimated, so the step keeps
+    decimation phase 0 on the XLA side. Chip A/Bs of the candidate
+    lowerings (tools/deblockbench.py, DSD256→192k shapes, all variants
+    bitwise-identical):
+
+    - f32/i32: the FLAT 2D form ``x.reshape(rows, -1, r)[..., 0]`` costs
+      +1.78 ms per 38.5 MB — the float path's old expression composed
+      the same slice inside the 5D de-block reshape and paid +7.9 ms
+      (~4.9 GB/s; 47% of the whole DSD256→192k head step), so callers
+      must extract BEFORE the de-block reshape, not after. One-hot
+      minor-axis contractions measured WORSE than the flat slice
+      (+3.2/+3.0 ms) and are not used.
+    - u8/i16 planes: bitcast byte pairs/quads to the wider word and mask
+      the LOW part — LE lane order makes element [..., 0] the low bytes,
+      so ``v & mask`` IS phase 0; pure bit moves, chained for r ≥ 8.
+      +2.54 ms per 28.9 MB vs the flat slice's +4.41 ms.
+    """
+    if r == 1:
+        return x
+    rows = x.shape[0]
+    if x.dtype == jnp.uint8:
+        v, left = x, r
+        while left > 1:
+            s = 4 if left % 4 == 0 else 2
+            v = jax.lax.bitcast_convert_type(
+                v.reshape(rows, -1, s),
+                jnp.uint32 if s == 4 else jnp.uint16)
+            v = (v & 0xFF).astype(jnp.uint8)
+            left //= s
+        return v
+    if x.dtype == jnp.int16:
+        v, left = x, r
+        while left > 1:
+            v = jax.lax.bitcast_convert_type(
+                v.reshape(rows, -1, 2), jnp.int32)
+            v = (v & 0xFFFF).astype(jnp.int16)
+            left //= 2
+        return v
+    return x.reshape(rows, -1, r)[..., 0]
+
+
 def sublane_batch(channels: int, block_lanes: int, r_tail: int) -> int:
     """Sublane batch factor: stack 8/C overlap-save sub-blocks per grid
     step so the cascade uses ~8 sublane rows regardless of channel count
@@ -871,8 +915,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             if r_tail > 1:
                 # keep decimation phase 0 of the à-trous output; stays in
                 # the blocked layout (no transpose anywhere on device)
-                pcm = pcm.reshape(pcm.shape[0], out_lanes // r_tail,
-                                  r_tail)[..., 0]
+                pcm = _take_phase0(pcm, r_tail)
             if cfg.bit_depth != 16:
                 # (3R, cols) u8 -> (3, R, cols): identical C-contiguous
                 # bytes, just the host-facing plane view
@@ -895,10 +938,10 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             # cc, lane k). Two chained transposes (de-block then .T)
             # cost ~27% of the step (measured, op profile).
             k2 = k_sub // r_tail
-            o = out.reshape(batch, c, n_blocks, k_sub)
-            if r_tail > 1:
-                # keep decimation phase 0 of the à-trous output
-                o = o.reshape(batch, c, n_blocks, k2, r_tail)[..., 0]
+            # keep decimation phase 0 of the à-trous output (the lane
+            # phase is global: k_sub % r_tail == 0, so extraction on the
+            # flat lanes commutes with the de-block reshape)
+            o = _take_phase0(out, r_tail).reshape(batch, c, n_blocks, k2)
             if _transpose:
                 pcm = (o.transpose(2, 0, 3, 1)
                        .reshape(n_blocks * batch * k2, c))
@@ -908,7 +951,7 @@ def make_fused_step(chain: Sequence[Stage], cfg: StepConfig,
             return pcm, peak[0, 0], new_halo
         pcm = out[:c]
         if r_tail > 1:
-            pcm = pcm.reshape(c, tile_lanes // r_tail, r_tail)[..., 0]
+            pcm = _take_phase0(pcm, r_tail)
         pcm = pcm.T if _transpose else pcm
         return pcm, peak[0, 0], new_halo
 

@@ -974,3 +974,28 @@ def test_unpack_env_typo_raises_config_error(monkeypatch):
     monkeypatch.setenv("DSD2DXD_UNPACK", "signmsk")
     with pytest.raises(ConfigError, match="DSD2DXD_UNPACK"):
         make_fused_step(chain, cfg, block_bytes=2048, interpret=True)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float32"])
+@pytest.mark.parametrize("r", [1, 2, 4, 8])
+def test_take_phase0_matches_strided_slice(dtype, r):
+    """_take_phase0 replaces the XLA strided [..., 0] phase extraction
+    (chip-measured ~4.9 GB/s — 7.9 ms of a 16.7 ms DSD256->192k head
+    step, tools/deblockbench.py) with bitcast pair/quad masking (u8/i16
+    planes) or a one-hot minor-axis contraction (f32/i32 frames). The
+    contract is BITWISE identity with the slice for every emission
+    dtype and every power-of-two r_tail the ÷64+ chains produce."""
+    from dsd2dxd_tpu.ops.fused import _take_phase0
+
+    rng = np.random.default_rng(17 * r)
+    rows, lanes = 24, 128 * 3 * r
+    if dtype == "float32":
+        x = rng.standard_normal((rows, lanes)).astype(np.float32)
+    else:
+        info = np.iinfo(dtype)
+        x = rng.integers(info.min, info.max, size=(rows, lanes),
+                         endpoint=True).astype(dtype)
+    want = x.reshape(rows, lanes // r, r)[..., 0]
+    got = np.asarray(jax.jit(lambda v: _take_phase0(v, r))(x))
+    assert got.dtype == want.dtype
+    assert np.array_equal(got, want)

@@ -151,6 +151,57 @@ def main() -> int:
     variants = [("raw", f_raw), ("noop", f_noop),
                 ("transpose", f_transpose), ("stack", f_stack),
                 ("mxu_bi", f_mxu_bi), ("mxu_b", f_mxu_b)]
+
+    # --- r_tail phase-0 EXTRACTION variants (the real cost: noop−raw
+    # measured ~7.9 ms per 38.5 MB f32 tile, ~4.9 GB/s — pathological
+    # for a relayout). All flat (rows, L) -> (rows, L/r_tail), bitwise-
+    # checked vs the strided slice. Lane phase is global (k_sub % r_tail
+    # == 0), so extraction commutes with the de-block reshapes.
+    rows_f = batch * c
+    L = nb * k_sub
+
+    def x3(o):
+        return o.reshape(rows_f, L // r_tail, r_tail)
+
+    def f_exslice(o):
+        return x3(o)[..., 0]
+
+    e0 = jnp.zeros((r_tail,), jnp.float32).at[0].set(1.0)
+
+    def f_exein(o):
+        # one-hot contraction over the minor phase axis: 1.0*x + 0.0*y
+        # is exact for finite y (kernel outputs are bounded), and the
+        # access pattern is a plain reduction, not a strided gather
+        return jnp.einsum("klt,t->kl", x3(o), e0,
+                          preferred_element_type=jnp.float32)
+
+    def f_exmask(o):
+        return (x3(o) * e0).sum(axis=-1)
+
+    if r_tail > 1:
+        variants += [("exslice", f_exslice), ("exein", f_exein),
+                     ("exmask", f_exmask)]
+
+    # planes-path u8 extraction helpers (shared by --check and the chip
+    # section): bitcast byte pairs/quads to u16/u32 and mask the low
+    # byte — LE lane order makes element [..., 0] the low byte, so
+    # `v & 0xFF` IS phase 0, with no strided access (chained for 8+).
+    rows_p = 3 * batch * c
+
+    def u8slice(p):
+        return p.reshape(rows_p, L // r_tail, r_tail)[..., 0]
+
+    def u8cast(p):
+        v = p
+        left = r_tail
+        while left > 1:
+            s = 4 if left % 4 == 0 else 2
+            v = jax.lax.bitcast_convert_type(
+                v.reshape(rows_p, -1, s),
+                jnp.uint32 if s == 4 else jnp.uint16)
+            v = (v & 0xFF).astype(jnp.uint8)
+            left //= s
+        return v
     if args.ab:
         want = args.ab.split(",")
         byname = dict(variants)
@@ -162,11 +213,22 @@ def main() -> int:
 
     if args.check:
         ref = np.asarray(jax.jit(f_transpose)(o_np))
+        exref = (np.asarray(jax.jit(f_exslice)(o_np)) if r_tail > 1
+                 else None)
         ok = True
         for name, fn in variants[2:]:
             got = np.asarray(jax.jit(fn)(o_np))
-            same = np.array_equal(got, ref)
+            if name == "exslice":
+                continue
+            same = np.array_equal(
+                got, exref if name.startswith("ex") else ref)
             print(f"  {name:<9}: bitwise {'OK' if same else 'MISMATCH'}")
+            ok &= same
+        if r_tail > 1:
+            p_np = rng.integers(0, 256, (rows_p, L), dtype=np.uint8)
+            same = np.array_equal(np.asarray(jax.jit(u8cast)(p_np)),
+                                  np.asarray(jax.jit(u8slice)(p_np)))
+            print(f"  u8cast   : bitwise {'OK' if same else 'MISMATCH'}")
             ok &= same
         print("EQUIVALENCE", "OK" if ok else "FAIL")
         return 0 if ok else 1
@@ -197,6 +259,12 @@ def main() -> int:
             bit = "baseline, no reorder"
         elif name == "raw":
             bit = "baseline, no slice"
+        elif name == "exslice":
+            exref = np.asarray(z)
+            bit = "extraction reference"
+        elif name.startswith("ex"):
+            bit = ("bit-exact" if np.array_equal(np.asarray(z), exref)
+                   else "DIFFERS")
         else:
             bit = ("bit-exact" if np.array_equal(np.asarray(z), ref)
                    else "DIFFERS")
@@ -214,9 +282,61 @@ def main() -> int:
         t = timing.min_of(run, n=args.runs)
         times[name] = t
         extra = ""
-        if name != "noop" and "noop" in times:
+        if name.startswith("ex") and "raw" in times:
+            extra = f"  extract={1e3 * (t - times['raw']):+.3f} ms"
+        elif name not in ("noop", "raw") and "noop" in times:
             extra = f"  reorder={1e3 * (t - times['noop']):+.3f} ms"
         print(f"  {name:<9}: {t * 1e3:7.3f} ms  ({bit}){extra}")
+
+    # --- planes-path u8 extraction: the int cells pay the same strided
+    # [..., 0] on their (3R, L) u8 planes. Candidate: bitcast byte
+    # PAIRS/QUADS to u16/u32 and mask the low byte — LE lane order makes
+    # element [..., 0] the low byte, so `v & 0xFF` IS phase 0, with no
+    # strided access (chained for r_tail 8+).
+    if r_tail > 1:
+        def u8raw(p):
+            return p
+
+        ps = [chunked_device_put(rng.integers(
+            0, 256, (rows_p, L), dtype=np.uint8)) for _ in range(reps)]
+        jax.block_until_ready(ps)
+
+        def udigest(z):
+            return jnp.stack([jnp.sum(z, dtype=jnp.float32),
+                              jnp.max(z).astype(jnp.float32)])
+
+        print(f"  -- planes u8 extraction ({rows_p}x{L}, "
+              f"{rows_p * L / 1e6:.1f} MB) --")
+        uref = None
+        utimes = {}
+        for name, fn in (("u8raw", u8raw), ("u8slice", u8slice),
+                         ("u8cast", u8cast)):
+            z = jax.block_until_ready(jax.jit(fn)(ps[0]))
+            if name == "u8slice":
+                uref = np.asarray(z)
+                bit = "extraction reference"
+            elif name == "u8raw":
+                bit = "baseline, no slice"
+            else:
+                bit = ("bit-exact"
+                       if np.array_equal(np.asarray(z), uref)
+                       else "DIFFERS")
+            del z
+            f = jax.jit(lambda os, fn=fn: sum(udigest(fn(o)) for o in os))
+            np.asarray(f(ps))
+
+            def run(f=f):
+                t0 = time.perf_counter()
+                np.asarray(f(ps))
+                return (time.perf_counter() - t0) / reps
+
+            t = timing.min_of(run, n=args.runs)
+            utimes[name] = t
+            extra = ""
+            if name != "u8raw":
+                extra = (f"  extract="
+                         f"{1e3 * (t - utimes['u8raw']):+.3f} ms")
+            print(f"  {name:<9}: {t * 1e3:7.3f} ms  ({bit}){extra}")
 
     if args.ab:
         (an, _), (bn, _) = variants[:2]
