@@ -40,7 +40,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-MODES = ("dma", "fan", "unpack", "cas0", "full")
+MODES = ("dma", "fan", "unpack", "cas0a", "cas0", "full")
 
 
 def _probe_step(chain, cfg, block_bytes: int, mode: str,
@@ -143,7 +143,11 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
                 for r in rows])
             peak_ref[0, 0] = jnp.float32(0.0)
             return
-        # cas0: the real cascade + a-trous tail + peak, f32 out
+        # cas0: the real cascade + a-trous tail + peak, f32 out.
+        # cas0a: identical op graph but every slice offset rounded DOWN
+        # to a 128-lane boundary — numerically wrong on purpose; the
+        # cas0-cas0a delta is the cascade's lane-ROTATE share (unaligned
+        # slices are the only thing that changes).
         for j, plan in enumerate(plans):
             h = plan.hist_lanes
             k_out = need[j]
@@ -152,6 +156,8 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
                 contribs = []
                 for t_idx, t in enumerate(terms):
                     start = (extra0 if j == 0 else 0) + h + t.base
+                    if mode == "cas0a":
+                        start &= ~127
                     sl = jax.lax.slice(rows[t.r_in], (0, start),
                                        (r_rows, start + k_out), (1, 1))
                     contribs.append(coef_tables[j][rho][t_idx] * sl)
@@ -164,6 +170,8 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
             contribs = []
             for k, coef in enumerate(taps):
                 start = (n_t - 1) * d - k * d
+                if mode == "cas0a":
+                    start &= ~127
                 contribs.append(jnp.float32(coef)
                                 * jax.lax.slice(z, (0, start),
                                                 (r_rows, start + k_out)))
