@@ -40,7 +40,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-MODES = ("dma", "fan", "unpack", "cas0a", "cas0", "full")
+MODES = ("dma", "fan", "unpack", "cas0a", "cas0", "quant", "full")
 
 
 def _probe_step(chain, cfg, block_bytes: int, mode: str,
@@ -56,6 +56,7 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from dsd2dxd_tpu.formats.dsd_types import DitherType
     from dsd2dxd_tpu.ops import fused
     from dsd2dxd_tpu.ops.fused import _pm1, _tree_sum
 
@@ -191,6 +192,19 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
         def _():
             peak_ref[0, 0] = jnp.maximum(peak_ref[0, 0], peak)
 
+        if mode == "quant":
+            # production dither+quantize epilogue, int32 store — the
+            # full-quant delta is then the u8 plane emission (in-kernel
+            # byte split/concat) + the XLA phase-0 extraction/reshape
+            scale = jnp.float32(1 << (cfg.bit_depth - 1))
+            v = z * scale
+            if cfg.dither is DitherType.TPDF:
+                pltpu.prng_seed(seed_ref[0] * n_blocks + i)
+                v = v + (fused._uniform01((r_rows, k_sub))
+                         + fused._uniform01((r_rows, k_sub)) - 1.0)
+            out_ref[:, :] = jnp.clip(jnp.round(v), -scale,
+                                     scale - 1.0).astype(jnp.int32)
+            return
         out_ref[:, :] = z
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -208,11 +222,12 @@ def _probe_step(chain, cfg, block_bytes: int, mode: str,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    out_dt = jnp.int32 if mode == "quant" else jnp.float32
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r_rows, n_blocks * k_sub), jnp.float32),
+            jax.ShapeDtypeStruct((r_rows, n_blocks * k_sub), out_dt),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -310,9 +325,11 @@ def main() -> int:
               f"[{xrt:6.0f}x DSD512RT]")
         prev = us
     print("increments: fan-dma = sub-block relayout; unpack-fan = 8G "
-          "_pm1 rows + aligned consume; cas0-unpack = cascade slices/"
-          "FMAs at 2 taps/stage + tail + peak; full-cas0 = dither/"
-          "quantize/planes epilogue (minus the unpack rung's consume).")
+          "_pm1 rows + aligned consume; cas0a-unpack = cascade at 2 "
+          "taps/stage with ALIGNED slices; cas0-cas0a = the lane-ROTATE "
+          "premium of the real unaligned slices; quant-cas0 = dither+"
+          "quantize (i32 store); full-quant = u8 plane emission + XLA "
+          "phase-0 extraction.")
     return 0
 
 
