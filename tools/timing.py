@@ -51,24 +51,50 @@ def stage_tiles(prep, rng, tile_bytes: int, n_tiles: int = 6,
     return tiles
 
 
-def timed_run(step, make_state, tiles, digest) -> float:
-    """One timed pass over the staged tiles. See module docstring for
-    why the single end sync must ride the stacked digests."""
+def timed_run(step, make_state, tiles, digest, rounds: int = 1) -> float:
+    """One timed pass over the staged tiles (looped `rounds` times,
+    state chaining across rounds — inputs are never donated, only the
+    state is, so re-dispatching the same staged tiles is free extra
+    device work with zero extra staging). See module docstring for why
+    the single end sync must ride the stacked digests."""
     import jax.numpy as jnp
     import numpy as np
 
     state = make_state()
     t0 = time.perf_counter()
     ds = []
-    for i, xt in enumerate(tiles):
-        out, _peak, state = step(xt, state, i)
-        ds.append(digest(out))
+    for r in range(rounds):
+        for i, xt in enumerate(tiles):
+            out, _peak, state = step(xt, state, r * len(tiles) + i)
+            ds.append(digest(out))
     np.asarray(jnp.stack(ds).sum(axis=0))
     return time.perf_counter() - t0
 
 
 def min_of(fn: Callable[[], float], n: int = 3) -> float:
     return min(fn() for _ in range(n))
+
+
+def slope_run(step, make_state, tiles, digest, r_lo: int = 1,
+              r_hi: int = 5, reps: int = 3) -> float:
+    """DEVICE-ONLY seconds per tile-pass, by a two-point rounds slope.
+
+    A single-fetch timed_run through the axon tunnel carries a ~27-29 ms
+    blocking round-trip INTERCEPT on its one host sync (measured
+    2026-08-20: a 256 MiB XLA add chained K times fetches in
+    29.4 + 0.60*(K-1) ms — 855 GB/s slope, pure-intercept offset; and
+    `block_until_ready` through the tunnel returns EARLY, so the sync
+    cannot be hoisted off the timed path). At 16 MiB x 8 tile runs of
+    40-130 ms that intercept understated deep-cell xRT by 25-75%.
+    Timing the SAME staged tiles at two round counts and taking
+    (t_hi - t_lo) / (r_hi - r_lo) cancels the intercept exactly; each
+    arm is min-of-`reps` so tunnel weather hits the minima, not the
+    difference."""
+    t_lo = min_of(lambda: timed_run(step, make_state, tiles, digest,
+                                    rounds=r_lo), reps)
+    t_hi = min_of(lambda: timed_run(step, make_state, tiles, digest,
+                                    rounds=r_hi), reps)
+    return max(t_hi - t_lo, 1e-9) / (r_hi - r_lo)
 
 
 def interleaved_pairs(fa: Callable[[], float], fb: Callable[[], float],
