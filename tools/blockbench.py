@@ -118,16 +118,16 @@ def main() -> int:
             tiles = timing.stage_tiles(
                 lambda a, g=g: fused.prep_input(a, g), rng, big, n_tiles=6)
 
-            def run():
-                return timing.timed_run(step, make_state, tiles, digest)
-
             try:
-                run()  # warm: first dispatch is where Mosaic fails
+                # warm: first dispatch is where Mosaic fails
+                timing.timed_run(step, make_state, tiles, digest)
             except Exception as e:
                 print(f"  block={bb:>7}: run failed: "
                       f"{str(e).splitlines()[0][:120]}")
                 continue
-            best = timing.min_of(run, 3)
+            # rounds-slope: cancels the tunnel's ~28 ms fetch intercept,
+            # which compressed every block-size delta toward zero
+            best = timing.slope_run(step, make_state, tiles, digest)
             xrt = timing.xrt(len(tiles) * big * 8 / rate.hz, best)
             us_per_16k = best / (len(tiles) * big / 16384) * 1e6
             print(f"  block={bb:>7}: {xrt:6.0f}x RT   "

@@ -304,12 +304,12 @@ def main() -> int:
                 want_planes=True)
             tiles = timing.stage_tiles(prep, rng, big, n_tiles=6)
 
-            def run(tiles=tiles, step=step, make_state=make_state):
-                return timing.timed_run(step, make_state, tiles, digest)
-
-            run()
-            best = timing.min_of(run, 3)
-            xrt = timing.xrt(len(tiles) * big * 8 / rate.hz, best)
+            # compile/warm, then the two-point rounds slope — a
+            # single-fetch min-of-3 carries the tunnel's ~28 ms blocking
+            # round-trip and understated deep cells by 25-75%
+            timing.timed_run(step, make_state, tiles, digest)
+            per_pass = timing.slope_run(step, make_state, tiles, digest)
+            xrt = timing.xrt(len(tiles) * big * 8 / rate.hz, per_pass)
             print(f"  {rate_name}->{out_hz}: {xrt:.0f}x RT")
 
     print(f"\n{failures} failures")
