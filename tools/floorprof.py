@@ -113,21 +113,32 @@ def main() -> int:
                 for _ in range(2 if args.check else 6)]
             jax.block_until_ready(tiles)
 
-            def run():
+            def run(rounds: int = 1):
                 halo = jnp.asarray(fused.init_fused_halo(chain, 2))
                 t0 = time.perf_counter()
                 outs = []
-                for i, xt in enumerate(tiles):
-                    out, pk, halo = step(xt, halo, i)
-                    outs.append(out[0].astype(jnp.int32).sum()
-                                if isinstance(out, tuple) else
-                                out.astype(jnp.int32).sum())
+                for r in range(rounds):
+                    for i, xt in enumerate(tiles):
+                        out, pk, halo = step(xt, halo,
+                                             r * len(tiles) + i)
+                        outs.append(out[0].astype(jnp.int32).sum()
+                                    if isinstance(out, tuple) else
+                                    out.astype(jnp.int32).sum())
                 np.asarray(jnp.stack(outs).sum())
                 return time.perf_counter() - t0
 
             try:
                 run()
-                best = min(run() for _ in range(1 if args.check else 3))
+                if args.check:
+                    best = run()
+                else:
+                    # two-point rounds slope: cancels the tunnel's
+                    # ~28 ms blocking-fetch intercept, which inflated
+                    # the per-16KiB floor fit by ~4-5 us at 16 MiB
+                    # tiles (tools/timing.py slope_run rationale)
+                    t1 = min(run(1) for _ in range(3))
+                    t5 = min(run(5) for _ in range(3))
+                    best = max(t5 - t1, 1e-9) / 4
             except Exception as e:
                 row.append(f"{dither.name}: run failed "
                            f"({str(e).splitlines()[0][:80]})")
