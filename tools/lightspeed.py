@@ -60,19 +60,21 @@ from dsd2dxd_tpu.ops import fused  # noqa: E402
 # ---- hardware constants (TPU v5e, one core) -------------------------------
 HBM_BW = 819e9          # bytes/s, v5e public spec
 VPU_ELEMS = 0.96e12     # vector elements/s: 8 sublanes x 128 lanes x ~0.94 GHz
-# Recalibrated from the round-4 on-chip floorprof sweeps at HEAD
-# (tools/floorprof.py, logs /tmp/chip_floorprof{,16}_r4.log): linear
-# fit of us/16KiB-of-per-channel-input vs slice-FMA element count over
+# Recalibrated from the round-4 INTERCEPT-FREE floorprof sweeps at
+# HEAD (tools/floorprof.py under the rounds-slope protocol, logs
+# /tmp/chip_floorprof{,16}_slope_r4.log 2026-08-20): linear fit of
+# us/16KiB-of-per-channel-input vs slice-FMA element count over
 # scale = 0/0.25/0.5/1.0 of the real DSD512->352.8k tap structure.
-# Zero-element intercepts: 7.26 us (64 KiB blocks) and 7.08 us
-# (16 KiB blocks) — equal within the ~8% cross-run tunnel noise, so
-# the per-BLOCK floor component is unresolvable and modeled as 0; the
-# real-chain 16->64 KiB wins (+6-15%, blockbench same-run A/Bs) ride
-# the halo-redundancy term the exact FMA accounting below already
-# models (bigger k_sub = less overproduction per output lane).
-# Measured FMA slope: 1.12 us/M el at 64 KiB (vs the 1.04 analytic
-# VPU rate used below), 1.45 at 16 KiB (noisy arm).
-FLOOR_S_PER_BYTE = 7.17e-6 / 16384
+# The earlier single-fetch sweeps carried the tunnel's ~28 ms blocking
+# round-trip, which inflated the fit's intercept to 7.1-7.3 us; the
+# slope protocol cancels it. Pooled (NONE+TPDF) zero-element
+# intercepts: 2.07 us (64 KiB blocks) and 2.12 us (16 KiB blocks) —
+# equal within noise, so the per-BLOCK floor component stays 0 and the
+# floor is per-BYTE (8G-row unpack + Mosaic op/layout overhead +
+# epilogue structure). Measured FMA slope: 1.38 us/M el at 64 KiB
+# (vs the 1.04 analytic VPU rate used below — ~75% issue efficiency,
+# the per-term lane rotates), 2.04 at 16 KiB (halo redundancy).
+FLOOR_S_PER_BYTE = 2.1e-6 / 16384
 FLOOR_S_PER_BLOCK = 0.0
 UNPACK_OPS = 3          # bitcast unpack: int ops per stream bit (default)
 EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
@@ -205,14 +207,16 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     # (160, 164) einsum per 160 outputs, Precision.HIGHEST). Pure MXU
     # MAC time is negligible (~1e-5 s/audio-s); the real cost is the
     # XLA layout/elementwise work around the einsum, so the model uses
-    # the MEASURED production-tail cost instead: 2.98 ms per 13.65 s
-    # audio at 192k stereo on chip (tools/tailbanded.py "natural",
-    # /tmp/chip_tailprec_r4.log) = 5.69e-10 s per output value, scaled
+    # the MEASURED production-tail cost instead: 1.08 ms per 13.65 s
+    # audio at 192k stereo on chip (tools/tailbanded.py "natural" under
+    # the intercept-free digest-slope bench,
+    # /tmp/chip_tailslope_r4.log 2026-08-20; the earlier 2.98 ms
+    # carried tunnel round-trip) = 2.06e-10 s per output value, scaled
     # by output sample rate. Single-point calibration: per-value cost
     # at other tile sizes/rates varies with dispatch amortization
     # (DSD64 cells run 4x larger audio windows per tile), which is the
     # named residual for rational cells off the model.
-    TAIL_S_PER_OUT_VALUE = 5.69e-10
+    TAIL_S_PER_OUT_VALUE = 2.06e-10
     t_mxu = out_hz * CHANNELS * TAIL_S_PER_OUT_VALUE if rational else 0.0
 
     t_hbm = (in_bytes * redundancy + out_bytes) / HBM_BW

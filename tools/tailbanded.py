@@ -37,14 +37,27 @@ import numpy as np
 
 
 def bench(fn, args, n=20):
+    """Per-call seconds by a two-point iteration slope with a digest
+    sync: `block_until_ready` returns EARLY through the axon tunnel
+    (tools/timing.py), so each arm folds every output into a scalar
+    digest and fetches that via np.asarray; the (4n - n)/3n slope
+    cancels the fetch's ~28 ms round-trip intercept."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    r = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n
+    digest = jax.jit(lambda rs: sum(jnp.sum(r) for r in rs))
+
+    def pass_t(k: int) -> float:
+        t0 = time.perf_counter()
+        rs = [fn(*args) for _ in range(k)]
+        np.asarray(digest(rs))
+        return time.perf_counter() - t0
+
+    pass_t(1)  # warm (digest compile)
+    t1 = min(pass_t(n) for _ in range(3))
+    t4 = min(pass_t(4 * n) for _ in range(3))
+    return max(t4 - t1, 1e-9) / (3 * n)
 
 
 def plan_banded(plan):
@@ -397,19 +410,17 @@ def main() -> int:
         (a_name, fa), (b_name, fb) = variants
         ja, jb = jax.jit(fa), jax.jit(fb)
 
+        # per-arm iteration slope (bench's digest protocol, n=6): raw
+        # single-fetch arms share the tunnel intercept and compress the
+        # ratio toward 1; block_until_ready alone returns early
         def run(f):
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(6):
-                r = f(y, hist)
-            jax.block_until_ready(r)
-            return time.perf_counter() - t0
+            return bench(f, (y, hist), n=6)
 
         run(ja); run(jb)  # warm (accuracy loop used fresh jits)
         ta, tb, med = timing.interleaved_pairs(
             lambda: run(ja), lambda: run(jb), args.pairs)
         print(f"A/B {a_name} vs {b_name}: median t_a/t_b = {med:.3f}  "
-              f"best a={min(ta)/6*1e3:.2f} ms b={min(tb)/6*1e3:.2f} ms  "
+              f"best a={min(ta)*1e3:.2f} ms b={min(tb)*1e3:.2f} ms  "
               f"(pairs: {' '.join(f'{x/z:.3f}' for x, z in zip(ta, tb))})")
     return 0
 
