@@ -1011,22 +1011,154 @@ def kernel_covers(chain: Sequence[Stage], bit_depth: int, dither) -> bool:
     return True
 
 
+_FINISH_BLOCK_LANES = (16384, 8192, 4096, 2048, 1024, 512, 256, 128)
+
+
+def make_finish_planes(cfg: StepConfig, n_out: int, out_shift: int = 0,
+                       interpret: bool = False):
+    """Standalone Pallas epilogue for steps whose cascade tail runs in
+    XLA (the rational ×160/147 stage): (C, n_out) f32 final-rate
+    samples -> (wire byte planes, peak) with gain, peak, on-core
+    TPDF/RECT dither, quantize and the s24le/s16 byte split in ONE
+    kernel pass over full 8-sublane registers.
+
+    Why: the XLA threefry epilogue cost 8.8 ms of a 25.5 ms
+    DSD64->384k tile — threefry PRNG 2.47 ms + quantize/plane split
+    6.30 ms (tools/ratprof.py ladder, on chip 2026-08-20) — while the
+    plain kernel runs the identical epilogue in-pass for ~free. Noise
+    here comes from the ON-CORE PRNG (per (seed, block) deterministic,
+    the plain kernel's stream family), NOT make_phase_step's threefry —
+    so equivalence is tested the plain kernel's way: NONE dither is
+    bit-exact vs the XLA finish, TPDF/RECT statistics are asserted on
+    real hardware (tools/chipcheck.py; interpret mode cannot execute
+    the on-core PRNG).
+
+    Layout: the returned ``finish(z, seed)`` free-reshapes
+    (C, n_out) -> (C, n_blocks, batch, Lb) and transposes sub-blocks
+    onto the sublane axis (rows b*C + cc — one XLA relayout at
+    bandwidth), which IS the plain kernel's batched `PlaneLayout`, so
+    the host interleaver consumes the output unchanged.
+
+    Returns (finish, PlaneLayout), or None when not expressible
+    (channels not a power-of-two divisor of 8, n_out not
+    block-alignable, or a non-kernel dither).
+    """
+    c = cfg.channels
+    if cfg.bit_depth == 32 or c < 1 or 8 % c != 0:
+        return None
+    if cfg.dither not in (DitherType.TPDF, DitherType.RECTANGULAR,
+                          DitherType.NONE):
+        return None
+    batch = 8 // c
+    lb = next((l for l in _FINISH_BLOCK_LANES
+               if n_out % (batch * l) == 0), None)
+    if lb is None:
+        return None
+    n_blocks = n_out // (batch * lb)
+    rows = batch * c
+    gain = 10.0 ** (cfg.level_db / 20.0)
+    scale = float(1 << (cfg.bit_depth - 1))
+    dither = cfg.dither
+    depth16 = cfg.bit_depth == 16
+
+    def kern(seed_ref, z_ref, out_ref, peak_ref):
+        i = pl.program_id(0)
+        y = z_ref[:, :]
+        if gain != 1.0:
+            y = y * jnp.float32(gain)
+        peak = jnp.max(jnp.abs(y))
+
+        @pl.when(i == 0)
+        def _():
+            peak_ref[0, 0] = peak
+
+        @pl.when(i > 0)
+        def _():
+            peak_ref[0, 0] = jnp.maximum(peak_ref[0, 0], peak)
+
+        v = y * jnp.float32(scale)
+        if dither in (DitherType.TPDF, DitherType.RECTANGULAR):
+            # unique stream per (tile, block), the plain kernel's
+            # convention (the head runs dither-free in rational mode,
+            # so the streams cannot collide within a step)
+            pltpu.prng_seed(seed_ref[0] * n_blocks + i)
+            u1 = _uniform01((rows, lb))
+            if dither is DitherType.TPDF:
+                v = v + (u1 + _uniform01((rows, lb)) - 1.0)
+            else:
+                v = v + (u1 - 0.5)
+        q = jnp.clip(jnp.round(v), -scale, scale - 1.0).astype(jnp.int32)
+        if out_shift:
+            q = q << out_shift
+        if depth16:
+            out_ref[:, :] = q.astype(jnp.int16)
+        else:
+            out_ref[:, :] = jnp.concatenate(
+                [(q & 0xFF), ((q >> 8) & 0xFF), ((q >> 16) & 0xFF)],
+                axis=0).astype(jnp.uint8)
+
+    if depth16:
+        out_spec = pl.BlockSpec((rows, lb), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((rows, n_blocks * lb), jnp.int16)
+    else:
+        out_spec = pl.BlockSpec((3 * rows, lb), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((3 * rows, n_blocks * lb),
+                                         jnp.uint8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((rows, lb), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec,
+                   pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                                memory_space=pltpu.SMEM)],
+    )
+    call = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        interpret=interpret)
+    layout = PlaneLayout(channels=c, rows=rows, batch=batch, sub_cols=lb,
+                         cols=n_blocks * lb, bit_depth=cfg.bit_depth)
+
+    def finish(z, seed):
+        zb = (z.reshape(c, n_blocks, batch, lb).transpose(2, 0, 1, 3)
+              .reshape(rows, n_blocks * lb))
+        planes, peak = call(jnp.asarray([seed], dtype=jnp.int32), zb)
+        if not depth16:
+            planes = planes.reshape(3, rows, n_blocks * lb)
+        return planes, peak[0, 0]
+
+    return finish, layout
+
+
 def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
                              interpret: bool = False, jit: bool = True,
                              emit: str = "frames", out_shift: int = 0,
                              mxu: bool | None = None,
                              unpack: str | None = None,
-                             tail_block: int | None = None):
+                             tail_block: int | None = None,
+                             finish: str | None = None):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
+
+    ``finish`` (planes mode only): None = auto (the Pallas finish
+    kernel whenever expressible — see make_finish_planes), "xla" =
+    force the threefry finish_tile epilogue (bit-identical to
+    make_phase_step's noise), "kernel" = require the Pallas finish
+    (raises when ineligible).
 
     The head runs `make_fused_step` in float mode (no level/dither/
     quantize — those move to the tail so dither and peak act on the
     FINAL samples); the tail is ops/phase.py's own stage body + epilogue
-    on the head's small PCM-rate output (~2-3 lanes of matmul window), so
-    its cost is negligible next to the kernel pass. Noise is bit-identical
-    to make_phase_step's: the same (0x5D5D, seed) threefry stream.
+    on the head's small PCM-rate output (~2-3 lanes of matmul window).
+    In frames mode (and planes with finish="xla") noise is bit-identical
+    to make_phase_step's: the same (0x5D5D, seed) threefry stream. The
+    planes-mode Pallas finish uses the on-core PRNG instead (the plain
+    kernel's stream family — NONE stays bit-exact, dither is
+    stats-equivalent; chipcheck asserts it on hardware).
 
     step(x_w, (halo, hist), seed) -> (pcm (n_out, C), peak,
                                       (new_halo, new_hist))
@@ -1128,6 +1260,33 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         if cfg.bit_depth == 32:
             raise ValueError("byte-plane emission is for integer depths")
         n_out = int(n_base * rstage.L) // rstage.M
+        # Pallas finish (gain/peak/dither/quantize/plane split in one
+        # kernel pass — see make_finish_planes for the measured XLA
+        # epilogue cost it removes). Auto mode takes it whenever it is
+        # expressible, EXCEPT dithered interpret builds (the on-core
+        # PRNG has no CPU interpret lowering — those keep the threefry
+        # XLA epilogue, which CPU tests compare bit-identically against
+        # make_phase_step).
+        fin = None
+        if finish != "xla" and not (interpret and cfg.dither
+                                    is not DitherType.NONE):
+            fin = make_finish_planes(cfg, n_out, out_shift=out_shift,
+                                     interpret=interpret)
+        if finish == "kernel" and fin is None:
+            raise ValueError("finish kernel not expressible for this cfg")
+        if fin is not None:
+            finish_fn, layout = fin
+
+            def step_planes_k(x_w, state, seed):
+                halo, hist = state
+                y, _hp, new_halo = hstep(x_w, halo, seed)
+                z, new_hist = tail(y, hist)
+                planes, peak = finish_fn(z, seed)
+                return planes, peak, (new_halo, new_hist)
+
+            return ((jax.jit(step_planes_k, donate_argnums=(1,)) if jit
+                     else step_planes_k), halo_bytes, layout)
+
         layout = PlaneLayout(channels=cfg.channels, rows=cfg.channels,
                              batch=1, sub_cols=n_out, cols=n_out,
                              bit_depth=cfg.bit_depth)

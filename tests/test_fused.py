@@ -463,11 +463,12 @@ def test_planes_emission_matches_frames_path(rate, out_hz, depth, shift,
 
 @pytest.mark.parametrize("depth,shift", [(24, 0), (16, 0), (20, 4)])
 def test_rational_planes_match_frames(depth, shift):
-    """Rational-step emit="planes": channel-major (3, C, n) planes fused
-    into the step's jit must interleave to the same wire bytes as the
-    frames output + host packers, and the FLAC-side deplaner must invert
-    exactly (the layout is a batch=1 PlaneLayout, so the engine's
-    blocked-plane drains consume it unchanged)."""
+    """Rational-step emit="planes": both finishes — the default Pallas
+    finish kernel (batched PlaneLayout, on-core epilogue; NONE dither
+    runs in interpret mode since it needs no PRNG) and the forced
+    finish="xla" threefry epilogue (batch=1 layout) — must interleave
+    to the same wire bytes as the frames output + host packers, and the
+    FLAC-side deplaner must invert exactly."""
     from dsd2dxd_tpu.ops.fused import (
         PlaneLayout,
         init_fused_rational_state,
@@ -483,10 +484,16 @@ def test_rational_planes_match_frames(depth, shift):
                      dither=DitherType.NONE, level_db=-1.0)
     fstep, _h = make_fused_rational_step(chain, cfg, block_bytes=2688,
                                          interpret=True)
-    pstep, _h2, layout = make_fused_rational_step(
+    kstep, _hk, klayout = make_fused_rational_step(
         chain, cfg, block_bytes=2688, interpret=True, emit="planes",
         out_shift=shift)
+    pstep, _h2, layout = make_fused_rational_step(
+        chain, cfg, block_bytes=2688, interpret=True, emit="planes",
+        out_shift=shift, finish="xla")
     assert isinstance(layout, PlaneLayout) and layout.batch == 1
+    # auto mode picked the Pallas finish: batched sublane layout
+    assert isinstance(klayout, PlaneLayout) and klayout.batch == 4
+    assert klayout.rows == 8
     rng = np.random.default_rng(2)
     x = rng.integers(0, 256, size=(2, 18816), dtype=np.uint8)
 
@@ -496,10 +503,12 @@ def test_rational_planes_match_frames(depth, shift):
 
     of, pkf, _ = fstep(x, st(), 0)
     ow, pkw, _ = pstep(x, st(), 0)
-    of, ow = np.asarray(of), np.asarray(ow)
+    ok, pkk, _ = kstep(x, st(), 0)
+    of, ow, ok = np.asarray(of), np.asarray(ow), np.asarray(ok)
     n = of.shape[0]
     assert layout.cols == n
-    assert float(pkf) == float(pkw)
+    assert klayout.batch * klayout.cols == n
+    assert float(pkf) == float(pkw) == float(pkk)
     v = (of.reshape(-1).astype(np.int64) << shift)
     if depth == 16:
         expect = of.astype(np.int16).tobytes()
@@ -511,8 +520,12 @@ def test_rational_planes_match_frames(depth, shift):
         b[:, 2] = (vv >> 16) & 0xFF
         expect = b.tobytes()
     assert interleave_planes(ow, layout, n) == expect
+    assert interleave_planes(ok, klayout, n) == expect
     np.testing.assert_array_equal(
         deplane_frames(ow, layout, n),
+        (of.astype(np.int64) << shift).astype(np.int32))
+    np.testing.assert_array_equal(
+        deplane_frames(ok, klayout, n),
         (of.astype(np.int64) << shift).astype(np.int32))
 
 

@@ -208,37 +208,79 @@ def main() -> int:
 
         # Byte-plane emission (emit="planes"): wire bytes from the
         # kernel must equal the frames path + host packing, on real
-        # Mosaic u8 stores (plain-path cells only).
-        if fused_plan(chain) is not None:
-            from dsd2dxd_tpu.pipeline.transfer import interleave_planes
+        # Mosaic u8 stores. Plain cells validate the in-kernel plane
+        # split; rational cells validate the Pallas FINISH kernel
+        # (make_finish_planes — gain/quantize/plane split; its NONE
+        # output must be bit-exact vs the frames path).
+        from dsd2dxd_tpu.pipeline.transfer import interleave_planes
 
-            cfg24 = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
-                               dither=DitherType.NONE, level_db=-1.0)
-            # at the PRODUCTION grid block (pick_block_bytes) — the
-            # default 16 KiB divides the hz-keyed tile too, so without
-            # this the 64 KiB-block plane layout deep cells actually run
-            # would never be validated on chip
-            bb24 = pick_block_bytes(chain, rate.hz)
+        cfg24 = StepConfig(channels=2, tile_bytes=tile, bit_depth=24,
+                           dither=DitherType.NONE, level_db=-1.0)
+        # at the PRODUCTION grid block (pick_block_bytes) — the
+        # default 16 KiB divides the hz-keyed tile too, so without
+        # this the 64 KiB-block plane layout deep cells actually run
+        # would never be validated on chip
+        bb24 = pick_block_bytes(chain, rate.hz)
+        if fused_plan(chain) is not None:
             fstep24, _ = make_fused_step(chain, cfg24, block_bytes=bb24)
             pstep24, _, layout = make_fused_step(chain, cfg24,
                                                  block_bytes=bb24,
                                                  emit="planes")
-            x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
-            h1 = jnp.asarray(init_fused_halo(chain, 2))
-            h2 = jnp.asarray(init_fused_halo(chain, 2))
-            of, _, _ = fstep24(prep_input(x, g), h1, 0)
-            op, _, _ = pstep24(prep_input(x, g), h2, 0)
-            of = np.asarray(of)
-            vv = (of.reshape(-1).astype(np.int64)
-                  & 0xFFFFFF).astype(np.uint32)
-            b = np.empty((len(vv), 3), np.uint8)
-            b[:, 0] = vv & 0xFF
-            b[:, 1] = (vv >> 8) & 0xFF
-            b[:, 2] = (vv >> 16) & 0xFF
-            if interleave_planes(np.asarray(op), layout,
-                                 of.shape[0]) != b.tobytes():
-                print(f"FAIL {rate_name}->{out_hz}: byte-plane emission "
-                      f"!= frames wire bytes")
+            st_f = lambda: jnp.asarray(init_fused_halo(chain, 2))  # noqa: E731
+        else:
+            fstep24, _ = make_step(cfg24)
+            pstep24, _, layout = make_fused_rational_step(
+                chain, cfg24, block_bytes=bb24, emit="planes")
+            if layout.batch == 1:
+                print(f"WARN {rate_name}->{out_hz}: rational planes fell "
+                      f"back to the XLA finish (layout ineligible)")
+            st_f = init_state
+        x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+        of, _, _ = fstep24(prep_input(x, g), st_f(), 0)
+        op, _, _ = pstep24(prep_input(x, g), st_f(), 0)
+        of = np.asarray(of)
+        vv = (of.reshape(-1).astype(np.int64)
+              & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((len(vv), 3), np.uint8)
+        b[:, 0] = vv & 0xFF
+        b[:, 1] = (vv >> 8) & 0xFF
+        b[:, 2] = (vv >> 16) & 0xFF
+        if interleave_planes(np.asarray(op), layout,
+                             of.shape[0]) != b.tobytes():
+            print(f"FAIL {rate_name}->{out_hz}: byte-plane emission "
+                  f"!= frames wire bytes")
+            failures += 1
+            ok = False
+
+        # Rational cells: the PRODUCTION dither path is the finish
+        # kernel's ON-CORE PRNG (frames mode above asserted the
+        # threefry stats) — assert the same TPDF statistics through
+        # planes + deplane.
+        if fused_plan(chain) is None:
+            from dsd2dxd_tpu.pipeline.transfer import deplane_frames
+
+            dstep, _, dlayout = make_fused_rational_step(
+                chain, cfg_d, block_bytes=bb24, emit="planes")
+            h_e = init_state()
+            h_f2 = init_state()
+            errs_k = []
+            for t in range(2):
+                x = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
+                xf, _, h_e = fstep_f(prep_input(x, g), h_e, t)
+                xd, _, h_f2 = dstep(prep_input(x, g), h_f2, t)
+                skip = int(halo_bytes * 8 * ratio) + 1 if t == 0 else 0
+                f = np.asarray(xf).astype(np.float64) * (1 << 23)
+                ints = deplane_frames(np.asarray(xd), dlayout,
+                                      f.shape[0]).astype(np.float64)
+                e = (ints - f)[skip:]
+                e = e[np.abs(f[skip:]) < (1 << 23) - 4]
+                errs_k.append(e)
+            ek = np.concatenate(errs_k)
+            rms_k = float(np.sqrt(np.mean(ek ** 2)))
+            mean_k = float(np.mean(ek))
+            if not (0.45 < rms_k < 0.55) or abs(mean_k) > 0.01:
+                print(f"FAIL {rate_name}->{out_hz} finish-kernel TPDF "
+                      f"stats: rms={rms_k:.4f} LSB mean={mean_k:.4f}")
                 failures += 1
                 ok = False
 

@@ -101,6 +101,13 @@ def main() -> int:
             step, _h, _lay = fused.make_fused_rational_step(
                 chain, cfgi(24, DitherType.TPDF), block_bytes=bb,
                 emit="planes", interpret=interpret)
+        elif name == "finxla":
+            # the pre-round-4 epilogue: threefry dither + XLA
+            # quantize/plane split (prod - finxla = the Pallas finish
+            # kernel's same-run win)
+            step, _h, _lay = fused.make_fused_rational_step(
+                chain, cfgi(24, DitherType.TPDF), block_bytes=bb,
+                emit="planes", interpret=interpret, finish="xla")
         elif name == "nodither":
             step, _h, _lay = fused.make_fused_rational_step(
                 chain, cfgi(24, DitherType.NONE), block_bytes=bb,
@@ -119,9 +126,11 @@ def main() -> int:
         else:  # plain24: the SAME head chain as its own int production
             # cell (in-kernel TPDF+quantize, byte-plane emission) — the
             # same-run comparator for the f32 head (cross-run matrix
-            # numbers carry ±8% weather)
+            # numbers carry ±8% weather). NONE in --check: the on-core
+            # PRNG has no CPU interpret lowering.
             step, _h, _lay = fused.make_fused_step(
-                head, cfgi(24, DitherType.TPDF), block_bytes=bb,
+                head, cfgi(24, DitherType.NONE if interpret
+                           else DitherType.TPDF), block_bytes=bb,
                 emit="planes", interpret=interpret)
 
         if name in ("head", "plain24"):
@@ -140,7 +149,7 @@ def main() -> int:
     digest = timing.make_digest()
 
     results = {}
-    for name in ("prod", "nodither", "f32", "head", "plain24"):
+    for name in ("prod", "finxla", "nodither", "f32", "head", "plain24"):
         step, make_state = build(name)
         # warm compile outside the timed region
         timing.timed_run(step, make_state, tiles[:1], digest)
@@ -148,9 +157,12 @@ def main() -> int:
             results[name] = 0.0
             print(f"  {name:<8}: ok (interpret)")
             continue
-        t = timing.min_of(
-            lambda: timing.timed_run(step, make_state, tiles, digest),
-            n=args.runs) / len(tiles)
+        # rounds slope (not single-fetch min-of-N): the rungs are
+        # differenced, and the tunnel's ~28 ms fetch intercept would
+        # cancel in the differences but poison the absolute ms/tile
+        # and xRT columns
+        t = timing.slope_run(step, make_state, tiles, digest,
+                             reps=args.runs) / len(tiles)
         results[name] = t
         print(f"  {name:<8}: {t * 1e3:7.2f} ms/tile  "
               f"({timing.xrt(secs, t):6.0f}x RT)")
@@ -160,10 +172,14 @@ def main() -> int:
         qp = results["nodither"] - results["f32"]
         tail = results["f32"] - results["head"]
         fmode = results["head"] - results["plain24"]
+        finwin = results["finxla"] - results["prod"]
         print(f"  ladder: head={results['head']*1e3:.2f}  "
-              f"tail+f32fin={tail*1e3:.2f}  quant+planes={qp*1e3:.2f}  "
-              f"prng={prng*1e3:.2f} ms/tile  "
-              f"[f32-vs-int-kernel mode: {fmode*1e3:+.2f}]")
+              f"tail+f32fin={tail*1e3:.2f}  "
+              f"finish(kernel)-over-f32={qp*1e3:.2f}  "
+              f"in-kernel prng={prng*1e3:.2f} ms/tile  "
+              f"[f32-vs-int-kernel mode: {fmode*1e3:+.2f}]  "
+              f"[finish kernel vs xla: {finwin*1e3:+.2f} ms "
+              f"({results['finxla']/results['prod']:.2f}x)]")
     return 0
 
 
