@@ -59,7 +59,18 @@ from dsd2dxd_tpu.ops import fused  # noqa: E402
 
 # ---- hardware constants (TPU v5e, one core) -------------------------------
 HBM_BW = 819e9          # bytes/s, v5e public spec
-VPU_ELEMS = 0.96e12     # vector elements/s: 8 sublanes x 128 lanes x ~0.94 GHz
+# Analytic VPU peak: 8 sublanes x 128 lanes x ~0.94 GHz. The kernel
+# MEASURES 1.38 us/M no-halo el at 64 KiB grid blocks (intercept-free
+# floorprof fit, 2026-08-20) = ~75% of this — per-term lane rotates
+# (FIR slices are inherently 128-unaligned) plus the halo redundancy
+# the fit's no-halo element counts fold into the slope. The model
+# keeps the ANALYTIC rate with its own redundancy-inclusive element
+# counts (using the measured slope here would double-count the halo);
+# the model is therefore a slightly optimistic bound and measured
+# cells land at 100-280% of it. Closure check on the deepest cell:
+# DSD512->352.8k measured 5.61 us/16KiB = 2.1 floor + 2.57 M no-halo
+# el x 1.38 measured slope (within 1%).
+VPU_ELEMS = 0.96e12
 # Recalibrated from the round-4 INTERCEPT-FREE floorprof sweeps at
 # HEAD (tools/floorprof.py under the rounds-slope protocol, logs
 # /tmp/chip_floorprof{,16}_slope_r4.log 2026-08-20): linear fit of
