@@ -1348,6 +1348,15 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
     n_head = fused_rational_plan(chain)
     if n_head is None:
         raise ValueError("chain is not fused-head + rational-tail shaped")
+    strict_finish = finish is not None
+    if finish is None:
+        finish = os.environ.get("DSD2DXD_RATIONAL_FINISH", "auto")
+        if finish not in ("auto", "xla", "kernel", "tail"):
+            raise ConfigError(
+                f"DSD2DXD_RATIONAL_FINISH={finish!r} "
+                f"(want auto, xla, kernel or tail)")
+        if finish == "auto":
+            finish = None
     head, rstage = tuple(chain[:n_head]), chain[-1]
     if cfg.dither is DitherType.NJAD:
         raise ValueError("NJAD requantizes on host; convert in float mode")
@@ -1426,14 +1435,19 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         # make_phase_step).
         if finish == "tail":
             # fused banded-tail + finish pass (see make_finish_rational)
-            if banded is None:
-                raise ValueError("tail finish needs a band-eligible stage")
-            fin_t = make_finish_rational(cfg, banded, plan.p_in,
-                                         plan.p_out, n_base,
-                                         out_shift=out_shift,
-                                         interpret=interpret)
+            fin_t = None
+            if banded is not None:
+                fin_t = make_finish_rational(cfg, banded, plan.p_in,
+                                             plan.p_out, n_base,
+                                             out_shift=out_shift,
+                                             interpret=interpret)
             if fin_t is None:
-                raise ValueError("tail finish not expressible for this cfg")
+                if strict_finish:
+                    raise ValueError(
+                        "tail finish not expressible for this cfg")
+                finish = None  # env-selected: fall back to the
+                #                standalone finish kernel below
+        if finish == "tail":
             finish_t, layout = fin_t
 
             def step_planes_t(x_w, state, seed):
