@@ -1145,13 +1145,13 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     finish kernel's batched relayout reads it again (tools/ratprof.py
     attributed ~3.8 ms of the 14.3 ms DSD64→384k tile to this
     segment). Here the tail matmul moves INTO the finish pass: per
-    grid block the kernel lane-concats the 17-sample history columns
-    with the 147-sample natural block (both free-reshaped views of the
-    head's output — no XLA concat materialization), runs ONE
-    (Kb, 164) × (164, 160) MXU dot at Precision.HIGHEST (the chip-
-    gated accuracy class — HIGH was rejected at 777 LSB24 max err),
-    and finishes gain/peak/dither/quantize/plane-split on the product
-    without it ever leaving VMEM.
+    grid block the kernel contracts the 17 history columns and the
+    147-sample natural block (both free-reshaped views of the head's
+    output — no XLA window-concat materialization) against the two
+    pre-transposed band panels as standard-form MXU dots at
+    Precision.HIGHEST (the chip-gated accuracy class — HIGH was
+    rejected at 777 LSB24 max err), and finishes gain/peak/dither/
+    quantize/plane-split on the sum without it ever leaving VMEM.
 
     Output is the batch=1 channel-major `PlaneLayout` (row = channel):
     the kernel writes (C*K, p_out) plane rows, which flatten FREE to
@@ -1164,10 +1164,10 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     on-core PRNG has no CPU lowering).
 
     Reference parity: same tap set and f32 accumulation class as
-    ops/phase.py `stage_apply_rational_natural` (the single 164-wide
-    contraction mirrors the einsum's); equivalence vs the XLA finish
-    is asserted bit-exactly for NONE dither in tests and on hardware
-    by tools/chipcheck.py.
+    ops/phase.py `stage_apply_rational_natural` (the contraction is
+    split 17+147, so output is tolerance-equivalent — reduction-order
+    noise far under the dither floor, pinned in tests/test_fused.py
+    and on hardware by tools/chipcheck.py).
     """
     c = cfg.channels
     if cfg.bit_depth == 32 or c < 1:
@@ -1183,7 +1183,7 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     if n_base % p_in:
         return None
     k_rows = n_base // p_in
-    kb = next((b for b in (512, 256, 128, 64, 32, 16, 8)
+    kb = next((b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
                if k_rows % b == 0), None)
     if kb is None:
         return None
@@ -1197,15 +1197,23 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     depth16 = cfg.bit_depth == 16
     n_total = c * nkb
 
-    def kern(seed_ref, band_ref, prev_ref, cur_ref, *outs):
+    def kern(seed_ref, b1_ref, b2_ref, prev_ref, cur_ref, *outs):
         peak_ref = outs[-1]
         cc = pl.program_id(0)
         kbi = pl.program_id(1)
-        w = jnp.concatenate([prev_ref[:, :], cur_ref[:, :]], axis=1)
-        z = jax.lax.dot_general(
-            w, band_ref[:, :], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (kb, p_out)
+        # two standard-form (M,K)@(K,N) dots against the pre-transposed
+        # band panels — an in-kernel [prev|cur] lane-concat at offset
+        # `nhist` plus a contraction on the band's LANE dim forced
+        # Mosaic relayouts every grid step (chip A/B: that variant ran
+        # 0.60x the XLA einsum path; this one is the winning form)
+        z = (jax.lax.dot_general(
+                prev_ref[:, :], b1_ref[:, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(
+                cur_ref[:, :], b2_ref[:, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32))  # (kb, p_out)
         if gain != 1.0:
             z = z * jnp.float32(gain)
         peak = jnp.max(jnp.abs(z))
@@ -1251,7 +1259,9 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c, nkb),
-        in_specs=[pl.BlockSpec((p_out, u), lambda i, j, *_: (0, 0),
+        in_specs=[pl.BlockSpec((nhist, p_out), lambda i, j, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p_in, p_out), lambda i, j, *_: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((kb, nhist),
                                lambda i, j, *_: (i * nkb + j, 0),
@@ -1268,14 +1278,15 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
         interpret=interpret)
     layout = PlaneLayout(channels=c, rows=c, batch=1, sub_cols=n_out,
                          cols=n_out, bit_depth=cfg.bit_depth)
-    band_dev = jnp.asarray(band_np, jnp.float32)
+    b1_dev = jnp.asarray(band_np[:, :nhist].T.copy(), jnp.float32)
+    b2_dev = jnp.asarray(band_np[:, nhist:].T.copy(), jnp.float32)
 
     def finish(y, hist, seed):
         yr = y.reshape(c, k_rows, p_in)
         hflat = hist[:, :, 0][:, -nhist:] if nhist < p_in else hist[:, :, 0]
         prev = jnp.concatenate([hflat[:, None, :],
                                 yr[:, :-1, p_in - nhist:]], axis=1)
-        out = call(jnp.asarray([seed], dtype=jnp.int32), band_dev,
+        out = call(jnp.asarray([seed], dtype=jnp.int32), b1_dev, b2_dev,
                    prev.reshape(c * k_rows, nhist),
                    yr.reshape(c * k_rows, p_in))
         if depth16:
