@@ -1146,8 +1146,10 @@ def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
     attributed ~3.8 ms of the 14.3 ms DSD64→384k tile to this
     segment). Here the tail matmul moves INTO the finish pass: per
     grid block the kernel contracts the 17 history columns and the
-    147-sample natural block (both free-reshaped views of the head's
-    output — no XLA window-concat materialization) against the two
+    147-sample natural block (the block a free-reshaped view of the
+    head's output; the history panel still a small XLA concat of hist
+    with a strided slice — ~10x less materialized data than the
+    full-width (C, K, 164) window concat it replaces) against the two
     pre-transposed band panels as standard-form MXU dots at
     Precision.HIGHEST (the chip-gated accuracy class — HIGH was
     rejected at 777 LSB24 max err), and finishes gain/peak/dither/
@@ -1360,6 +1362,10 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
     if n_head is None:
         raise ValueError("chain is not fused-head + rational-tail shaped")
     strict_finish = finish is not None
+    if strict_finish and emit != "planes":
+        raise ValueError(
+            f"finish={finish!r} applies to emit='planes' only "
+            f"(frames mode always runs the threefry XLA epilogue)")
     if finish is None:
         finish = os.environ.get("DSD2DXD_RATIONAL_FINISH", "auto")
         if finish not in ("auto", "xla", "kernel", "tail"):
@@ -1477,7 +1483,13 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
             fin = make_finish_planes(cfg, n_out, out_shift=out_shift,
                                      interpret=interpret)
         if finish == "kernel" and fin is None:
-            raise ValueError("finish kernel not expressible for this cfg")
+            if strict_finish:
+                raise ValueError(
+                    "finish kernel not expressible for this cfg")
+            # env-selected "kernel": degrade to the XLA epilogue below
+            # (like "tail" does) instead of raising — the engine treats
+            # a ValueError as "chain not kernel-expressible" and would
+            # abandon the whole fused path, Pallas head included.
         if fin is not None:
             finish_fn, layout = fin
 

@@ -582,7 +582,9 @@ def test_rational_tail_kernel_matches_frames(depth, shift):
     ref = (of.astype(np.int64) << shift).astype(np.int32)
     d = (frames.astype(np.int64) - ref) >> shift
     lsb24 = max(1, 2 ** (24 - depth))  # tolerance stated at 24-bit
-    assert np.abs(d).max() <= max(1, 2 // lsb24 + 1)
+    # ±2 LSB24 accuracy class, same bound chipcheck enforces on chip:
+    # ceil(2 / lsb24) output-depth LSBs (= 2 at depth 24, 1 shallower)
+    assert np.abs(d).max() <= max(1, -(-2 // lsb24))
     assert float(np.sqrt(np.mean(d.astype(np.float64) ** 2))) < 0.2
     # the wire stream round-trips through the host interleaver
     wire = interleave_planes(np.asarray(ot), layout, n)
@@ -1094,6 +1096,48 @@ def test_unpack_env_typo_raises_config_error(monkeypatch):
     monkeypatch.setenv("DSD2DXD_UNPACK", "signmsk")
     with pytest.raises(ConfigError, match="DSD2DXD_UNPACK"):
         make_fused_step(chain, cfg, block_bytes=2048, interpret=True)
+
+
+def test_rational_explicit_finish_requires_planes():
+    """An explicit finish= with emit="frames" must raise, not be
+    silently ignored: the finish dispatch lives in the planes branch,
+    and before this contract a strict finish="tail" caller got the
+    plain frames step back with no indication their kernel never
+    ran."""
+    from dsd2dxd_tpu.ops.fused import make_fused_rational_step
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
+    cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=24,
+                     dither=DitherType.NONE, level_db=0.0)
+    for mode in ("tail", "kernel", "xla"):
+        with pytest.raises(ValueError, match="planes"):
+            make_fused_rational_step(chain, cfg, block_bytes=2688,
+                                     interpret=True, finish=mode)
+
+
+def test_rational_env_kernel_falls_back_when_ineligible(monkeypatch):
+    """DSD2DXD_RATIONAL_FINISH=kernel on a cfg where the finish kernel
+    is not expressible (dithered interpret build — the on-core PRNG has
+    no CPU lowering) must degrade to the XLA epilogue like =tail does,
+    NOT raise: the engine swallows ValueError as "not
+    kernel-expressible" and would abandon the whole fused-rational
+    path, Pallas head included. The explicit finish="kernel" argument
+    keeps the strict raise."""
+    from dsd2dxd_tpu.ops.fused import make_fused_rational_step
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
+    cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    with pytest.raises(ValueError, match="finish kernel"):
+        make_fused_rational_step(chain, cfg, block_bytes=2688,
+                                 interpret=True, emit="planes",
+                                 finish="kernel")
+    monkeypatch.setenv("DSD2DXD_RATIONAL_FINISH", "kernel")
+    step, _h, layout = make_fused_rational_step(chain, cfg,
+                                                block_bytes=2688,
+                                                interpret=True,
+                                                emit="planes")
+    assert callable(step) and layout.batch == 1
 
 
 @pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float32"])
