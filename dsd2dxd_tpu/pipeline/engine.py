@@ -381,9 +381,15 @@ class Converter:
 
             mesh = stream_mesh()
             mult = int(info.rate)
-            if mesh is not None or not self._kernel_eligible(chain, float_out):
-                # sharded tiles run the XLA phase path on every device,
-                # so its rephase-padding memory profile gates them too
+            if mesh is not None:
+                # sharded tiles dispatch the fused kernel per shard for
+                # plain chains (parallel/sharded._resolve_body); only
+                # when the body falls back to the XLA phase path (e.g.
+                # rational chains) does its rephase-padding memory
+                # profile gate the tile scale
+                if not self._sharded_kernel_eligible(chain, float_out):
+                    mult = min(mult, 4)
+            elif not self._kernel_eligible(chain, float_out):
                 mult = min(mult, 4)
             tile_bytes = _tile_bytes_for(
                 chain, self.tile_target_bytes * mult, info.rate.hz)
@@ -519,6 +525,17 @@ class Converter:
                       else self.dither)
         return fused.kernel_covers(chain, eff_depth, eff_dither)
 
+    def _sharded_kernel_eligible(self, chain, float_out: bool) -> bool:
+        """Will the tile-sharded path run the fused kernel per shard?
+        The sharded body covers PLAIN fused chains only (rational
+        chains fall back to the phase body — parallel/sharded
+        ._resolve_body), so the gate is _kernel_eligible AND a plain
+        plan."""
+        from dsd2dxd_tpu.ops import fused
+
+        return (self._kernel_eligible(chain, float_out)
+                and fused.fused_plan(chain) is not None)
+
     def _run_tile_sharded(self, mesh, chain, ratio, cfg, cancel, progress,
                           sink) -> float:
         """Sequence-parallel mode (DSD2DXD_SHARD_STREAM=1): split ONE
@@ -536,7 +553,7 @@ class Converter:
         peak = convert_stream_tiled_chunked(
             self.source.read, chain, cfg, mesh, sink,
             key=jax.random.PRNGKey(_file_seed(self.input_path)),
-            cancel=cancel, progress=progress,
+            cancel=cancel, progress=progress, in_hz=info.rate.hz,
             total_bytes=info.data_bytes_per_channel,
             max_bits=info.sample_count)
         if progress is not None:

@@ -413,3 +413,149 @@ def test_convert_stream_tiled_rational_chain():
     n = min(len(got), len(ref))
     assert np.max(np.abs(got[skip:n] - ref[skip:n])) < 1e-4
     assert abs(peak - ref_peak) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel per-shard body (VERDICT r4 weak 5: the TPU production
+# path inside shard_map; parallel/sharded._resolve_body)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_fused_oracle(planes, chain, cfg, mesh_devs, key):
+    """The streaming fused path run tile-by-tile with carried halo state
+    and the sharded body's own seed derivation — the sharded fused path
+    must be BIT-EXACT against this (same kernel, same state
+    semantics)."""
+    import dataclasses
+    import math
+
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes, _fused_seeds
+
+    c, total = planes.shape
+    block = fused.pick_block_bytes(chain)
+    unit = math.lcm(_chain_unit_bytes(chain), block)
+    tile_bytes = -(-total // (mesh_devs * unit)) * unit
+    scfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
+    step, _ = fused.make_fused_step(chain, scfg, block_bytes=block,
+                                    interpret=True, jit=False)
+    g = fused.fused_plan(chain)[1]
+    need = mesh_devs * tile_bytes
+    pad = np.full((c, need - total), 0x69, np.uint8)
+    padded = np.concatenate([planes, pad], axis=1)
+    seeds = np.asarray(_fused_seeds(key, 0, mesh_devs))
+    state = jnp.asarray(fused.init_fused_halo(chain, c))
+    outs = []
+    for t in range(mesh_devs):
+        xw = fused.prep_input(
+            np.ascontiguousarray(
+                padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
+        o, _pk, state = step(xw, state, int(seeds[t]))
+        outs.append(np.asarray(o))
+    return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("bit_depth", [32, 24])
+def test_fused_body_bit_exact_vs_streaming_fused(bit_depth):
+    """body="fused": each shard runs the production Pallas kernel with
+    its tile's halo-prefix words as the kernel's own streaming halo
+    state — so the sharded output is BIT-EXACT against the streaming
+    fused path (not merely translation-invariance-equal), and the
+    phase body stays within the cross-path reduction-order band."""
+    n_dev = 4
+    mesh = _mesh_1d(n_dev)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    ratio = chain_ratio(chain)
+    planes = synth_tone_dsd(1000.0, 0.05, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=bit_depth,
+                     dither=DitherType.NONE, level_db=-1.0)
+    got, peak = convert_stream_tiled(planes, chain, cfg, mesh,
+                                     body="fused")
+    key = jax.random.PRNGKey(0x5D5D)
+    ref = _streaming_fused_oracle(planes, chain, cfg, n_dev, key)
+    n = min(len(got), len(ref))
+    np.testing.assert_array_equal(got[:n], ref[:n])
+    # and the phase body agrees within the reduction-order band
+    pgot, ppeak = convert_stream_tiled(planes, chain, cfg, mesh,
+                                       body="phase")
+    skip = int(halo_bytes_for(chain) * 8 * ratio) + 1
+    n = min(len(got), len(pgot))
+    if bit_depth == 32:
+        assert np.abs(got[skip:n] - pgot[skip:n]).max() < 1e-5
+    else:
+        assert np.abs(got[skip:n].astype(np.int64)
+                      - pgot[skip:n].astype(np.int64)).max() <= 1
+    assert abs(peak - ppeak) < 1e-3
+
+
+def test_fused_body_chunked_matches_one_dispatch():
+    """convert_stream_tiled_chunked with the fused body: real previous
+    bytes ride the kernel's halo state across macro-chunks, so output
+    is bit-identical to the one-dispatch fused tiling (both idle-lead,
+    both exact-streaming semantics)."""
+    from dsd2dxd_tpu.parallel.sharded import convert_stream_tiled_chunked
+
+    n_dev = 4
+    mesh = _mesh_1d(n_dev)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    planes = synth_tone_dsd(1000.0, 0.05, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=32,
+                     dither=DitherType.NONE, level_db=0.0)
+    ref, ref_peak = convert_stream_tiled(planes, chain, cfg, mesh,
+                                         body="fused")
+    pos = [0]
+
+    def read(n):
+        if pos[0] >= planes.shape[1]:
+            return None
+        take = min(n, planes.shape[1] - pos[0])
+        o = planes[:, pos[0]:pos[0] + take]
+        pos[0] += take
+        return o
+
+    got = []
+    cfg_c = StepConfig(channels=2, tile_bytes=16384, bit_depth=32,
+                       dither=DitherType.NONE, level_db=0.0)
+    peak = convert_stream_tiled_chunked(
+        read, chain, cfg_c, mesh, lambda t: got.append(t.copy()),
+        body="fused")
+    got = np.concatenate(got)
+    n = min(len(got), len(ref))
+    np.testing.assert_array_equal(got[:n], ref[:n])
+    assert abs(peak - ref_peak) < 1e-6
+
+
+def test_sharded_body_dispatch_decision(monkeypatch):
+    """_resolve_body: auto is phase off-TPU; the env knob mirrors the
+    argument with graceful degradation; a typo'd env raises ConfigError
+    loudly; the explicit body="fused" argument raises for ineligible
+    chains (rational tail) instead of silently running phase."""
+    from dsd2dxd_tpu.parallel.sharded import _resolve_body
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    chain_r = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    assert _resolve_body(chain, None)[0] == "phase"  # CPU backend
+    assert _resolve_body(chain, "phase") == ("phase", False, False)
+    mode, interp, forced = _resolve_body(chain, "fused")
+    assert mode == "fused" and interp and forced
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    mode, _interp, forced = _resolve_body(chain, None)
+    assert mode == "fused" and not forced  # env-selected: degradable
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fusd")
+    with pytest.raises(ConfigError, match="DSD2DXD_SHARDED_BODY"):
+        _resolve_body(chain, None)
+    monkeypatch.delenv("DSD2DXD_SHARDED_BODY")
+    # explicit fused on a rational chain: loud
+    mesh = _mesh_1d(4)
+    planes = synth_tone_dsd(1000.0, 0.02, 2_822_400, channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=32,
+                     dither=DitherType.NONE, level_db=0.0)
+    with pytest.raises(ValueError, match="fused"):
+        convert_stream_tiled(planes, chain_r, cfg, mesh, body="fused")
+    # env-selected fused on the same chain degrades to the phase body
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    got, _ = convert_stream_tiled(planes, chain_r, cfg, mesh)
+    assert got.shape[1] == 2
