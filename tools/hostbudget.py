@@ -60,16 +60,58 @@ def _median_pairs(fa, fb, pairs: int):
             statistics.median(ratios))
 
 
+def stage_runners(secs: float, rng):
+    """name -> (run(), threads_env | None) for every budgeted host
+    stage, at the shape its BASELINE config feeds it. Shared by main()
+    and the CI floor test (tests/test_hostbudget_floor.py) so the
+    measured table and the regression gate cannot drift apart."""
+    from dsd2dxd_tpu.native import lib as native
+    from dsd2dxd_tpu.ops.fused import PlaneLayout
+    from dsd2dxd_tpu.pipeline.transfer import deplane_frames, interleave_planes
+
+    n88 = int(secs * 88200)
+    xf = (_music(n88, 88200, 20, rng).astype(np.float32)
+          / float(1 << 19)).astype(np.float32)
+
+    def run_njad():
+        st = native.njad_new(2)
+        native.njad_quantize(st, xf, 20)
+        native.njad_free(st)
+
+    def flac_encode(x, rate, bps):
+        enc = native.flac_new(rate, 2, bps, 8192)
+        native.flac_feed(enc, x)
+        native.flac_drain(enc)
+        native.flac_finish(enc)
+        native.flac_drain(enc)
+        native.flac_free(enc)
+
+    x88 = _music(n88, 88200, 20, rng)
+    n352 = int(secs * 352800)
+    x352 = _music(n352, 352800, 24, rng)
+    # production-like blocked layout: stereo, batch 8/C = 4
+    batch, sub = 4, 1764
+    cols = n352 // batch
+    layout = PlaneLayout(channels=2, rows=8, batch=batch, sub_cols=sub,
+                         cols=cols, bit_depth=24)
+    planes = rng.integers(0, 256, size=(3, 8, cols), dtype=np.uint8)
+    return {
+        "njad": (run_njad, "DSDKIT_NJAD_THREADS"),
+        "flac88": (lambda: flac_encode(x88, 88200, 20),
+                   "DSDKIT_FLAC_THREADS"),
+        "flac352": (lambda: flac_encode(x352, 352800, 24),
+                    "DSDKIT_FLAC_THREADS"),
+        "pack24": (lambda: interleave_planes(planes, layout, n352), None),
+        "deplane24": (lambda: deplane_frames(planes, layout, n352), None),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--pairs", type=int, default=5)
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
-
-    from dsd2dxd_tpu.native import lib as native
-    from dsd2dxd_tpu.ops.fused import PlaneLayout
-    from dsd2dxd_tpu.pipeline.transfer import deplane_frames, interleave_planes
 
     rng = np.random.default_rng(0)
     secs = args.seconds
@@ -103,45 +145,8 @@ def main() -> int:
                   f"threads1/threads2 = {ratio:.3f} "
                   f"({os.cpu_count()}-core box)")
 
-    # --- NJAD, config-3 shape: 20-bit @ 88.2k stereo -------------------
-    n88 = int(secs * 88200)
-    xf = (_music(n88, 88200, 20, rng).astype(np.float32)
-          / float(1 << 19)).astype(np.float32)
-    st_box = {}
-
-    def run_njad():
-        st = native.njad_new(2)
-        native.njad_quantize(st, xf, 20)
-        native.njad_free(st)
-
-    measure("njad", run_njad, secs, threads_env="DSDKIT_NJAD_THREADS")
-
-    # --- FLAC encode at the two config rates ---------------------------
-    def flac_encode(x, rate, bps):
-        enc = native.flac_new(rate, 2, bps, 8192)
-        native.flac_feed(enc, x)
-        native.flac_drain(enc)
-        native.flac_finish(enc)
-        native.flac_drain(enc)
-        native.flac_free(enc)
-
-    x88 = _music(n88, 88200, 20, rng)
-    measure("flac88", lambda: flac_encode(x88, 88200, 20), secs,
-            threads_env="DSDKIT_FLAC_THREADS")
-    n352 = int(secs * 352800)
-    x352 = _music(n352, 352800, 24, rng)
-    measure("flac352", lambda: flac_encode(x352, 352800, 24), secs,
-            threads_env="DSDKIT_FLAC_THREADS")
-
-    # --- plane epilogues at the config-1 output shape -------------------
-    # production-like blocked layout: stereo, batch 8/C = 4
-    batch, sub = 4, 1764
-    cols = n352 // batch
-    layout = PlaneLayout(channels=2, rows=8, batch=batch, sub_cols=sub,
-                         cols=cols, bit_depth=24)
-    planes = rng.integers(0, 256, size=(3, 8, cols), dtype=np.uint8)
-    measure("pack24", lambda: interleave_planes(planes, layout, n352), secs)
-    measure("deplane24", lambda: deplane_frames(planes, layout, n352), secs)
+    for name, (fn, threads_env) in stage_runners(secs, rng).items():
+        measure(name, fn, secs, threads_env=threads_env)
 
     out = {"seconds": secs, "pairs": args.pairs,
            "cores": os.cpu_count(), "stages": rows}
