@@ -1133,174 +1133,6 @@ def make_finish_planes(cfg: StepConfig, n_out: int, out_shift: int = 0,
     return finish, layout
 
 
-def make_finish_rational(cfg: StepConfig, band_nhist, p_in: int,
-                         p_out: int, n_base: int, out_shift: int = 0,
-                         interpret: bool = False):
-    """Fused banded ×L/M tail + finish epilogue in ONE Pallas pass.
-
-    `make_finish_planes` removed the XLA dither/quantize/plane-split
-    epilogue, but the ×160/147 banded-natural einsum it consumes still
-    runs in XLA: the (C, K, 164) window concat is materialized at HBM
-    bandwidth, the (C, n_out) f32 result round-trips HBM, and the
-    finish kernel's batched relayout reads it again (tools/ratprof.py
-    attributed ~3.8 ms of the 14.3 ms DSD64→384k tile to this
-    segment). Here the tail matmul moves INTO the finish pass: per
-    grid block the kernel contracts the 17 history columns and the
-    147-sample natural block (the block a free-reshaped view of the
-    head's output; the history panel still a small XLA concat of hist
-    with a strided slice — ~10x less materialized data than the
-    full-width (C, K, 164) window concat it replaces) against the two
-    pre-transposed band panels as standard-form MXU dots at
-    Precision.HIGHEST (the chip-gated accuracy class — HIGH was
-    rejected at 777 LSB24 max err), and finishes gain/peak/dither/
-    quantize/plane-split on the sum without it ever leaving VMEM.
-
-    Output is the batch=1 channel-major `PlaneLayout` (row = channel):
-    the kernel writes (C*K, p_out) plane rows, which flatten FREE to
-    (C, n_out) because K is row-major under each channel. The u8
-    plane stack is one small XLA concat of wire-sized (not f32) data.
-
-    Returns (finish(y, hist, seed) -> (planes, peak, new_hist),
-    PlaneLayout), or None when not expressible (f32 only, kernel
-    dithers only, K not 8-divisible, dithered interpret builds — the
-    on-core PRNG has no CPU lowering).
-
-    Reference parity: same tap set and f32 accumulation class as
-    ops/phase.py `stage_apply_rational_natural` (the contraction is
-    split 17+147, so output is tolerance-equivalent — reduction-order
-    noise far under the dither floor, pinned in tests/test_fused.py
-    and on hardware by tools/chipcheck.py).
-    """
-    c = cfg.channels
-    if cfg.bit_depth == 32 or c < 1:
-        return None
-    if cfg.dither not in (DitherType.TPDF, DitherType.RECTANGULAR,
-                          DitherType.NONE):
-        return None
-    if interpret and cfg.dither is not DitherType.NONE:
-        return None
-    if jnp.dtype(cfg.dtype) != jnp.float32:
-        return None
-    band_np, nhist = band_nhist
-    if n_base % p_in:
-        return None
-    k_rows = n_base // p_in
-    kb = next((b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
-               if k_rows % b == 0), None)
-    if kb is None:
-        return None
-    nkb = k_rows // kb
-    n_out = k_rows * p_out
-    u = p_in + nhist
-    assert band_np.shape == (p_out, u)
-    gain = 10.0 ** (cfg.level_db / 20.0)
-    scale = float(1 << (cfg.bit_depth - 1))
-    dither = cfg.dither
-    depth16 = cfg.bit_depth == 16
-    n_total = c * nkb
-
-    def kern(seed_ref, b1_ref, b2_ref, prev_ref, cur_ref, *outs):
-        peak_ref = outs[-1]
-        cc = pl.program_id(0)
-        kbi = pl.program_id(1)
-        # two standard-form (M,K)@(K,N) dots against the pre-transposed
-        # band panels — an in-kernel [prev|cur] lane-concat at offset
-        # `nhist` plus a contraction on the band's LANE dim forced
-        # Mosaic relayouts every grid step (chip A/B: that variant ran
-        # 0.60x the XLA einsum path; this one is the winning form)
-        z = (jax.lax.dot_general(
-                prev_ref[:, :], b1_ref[:, :], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(
-                cur_ref[:, :], b2_ref[:, :], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32))  # (kb, p_out)
-        if gain != 1.0:
-            z = z * jnp.float32(gain)
-        peak = jnp.max(jnp.abs(z))
-        first = jnp.logical_and(cc == 0, kbi == 0)
-
-        @pl.when(first)
-        def _():
-            peak_ref[0, 0] = peak
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            peak_ref[0, 0] = jnp.maximum(peak_ref[0, 0], peak)
-
-        v = z * jnp.float32(scale)
-        if dither in (DitherType.TPDF, DitherType.RECTANGULAR):
-            # unique stream per (tile, block), the finish-planes
-            # convention (the head runs dither-free in rational mode)
-            pltpu.prng_seed(seed_ref[0] * n_total + cc * nkb + kbi)
-            u1 = _uniform01((kb, p_out))
-            if dither is DitherType.TPDF:
-                v = v + (u1 + _uniform01((kb, p_out)) - 1.0)
-            else:
-                v = v + (u1 - 0.5)
-        q = jnp.clip(jnp.round(v), -scale, scale - 1.0).astype(jnp.int32)
-        if out_shift:
-            q = q << out_shift
-        if depth16:
-            outs[0][:, :] = q.astype(jnp.int16)
-        else:
-            outs[0][:, :] = (q & 0xFF).astype(jnp.uint8)
-            outs[1][:, :] = ((q >> 8) & 0xFF).astype(jnp.uint8)
-            outs[2][:, :] = ((q >> 16) & 0xFF).astype(jnp.uint8)
-
-    blk = pl.BlockSpec((kb, p_out), lambda i, j, *_: (i * nkb + j, 0),
-                       memory_space=pltpu.VMEM)
-    if depth16:
-        out_specs = [blk]
-        out_shape = [jax.ShapeDtypeStruct((c * k_rows, p_out), jnp.int16)]
-    else:
-        out_specs = [blk, blk, blk]
-        out_shape = [jax.ShapeDtypeStruct((c * k_rows, p_out), jnp.uint8)
-                     for _ in range(3)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(c, nkb),
-        in_specs=[pl.BlockSpec((nhist, p_out), lambda i, j, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((p_in, p_out), lambda i, j, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((kb, nhist),
-                               lambda i, j, *_: (i * nkb + j, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((kb, p_in),
-                               lambda i, j, *_: (i * nkb + j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=out_specs + [pl.BlockSpec((1, 1), lambda i, j, *_: (0, 0),
-                                            memory_space=pltpu.SMEM)],
-    )
-    call = pl.pallas_call(
-        kern, grid_spec=grid_spec,
-        out_shape=out_shape + [jax.ShapeDtypeStruct((1, 1), jnp.float32)],
-        interpret=interpret)
-    layout = PlaneLayout(channels=c, rows=c, batch=1, sub_cols=n_out,
-                         cols=n_out, bit_depth=cfg.bit_depth)
-    b1_dev = jnp.asarray(band_np[:, :nhist].T.copy(), jnp.float32)
-    b2_dev = jnp.asarray(band_np[:, nhist:].T.copy(), jnp.float32)
-
-    def finish(y, hist, seed):
-        yr = y.reshape(c, k_rows, p_in)
-        hflat = hist[:, :, 0][:, -nhist:] if nhist < p_in else hist[:, :, 0]
-        prev = jnp.concatenate([hflat[:, None, :],
-                                yr[:, :-1, p_in - nhist:]], axis=1)
-        out = call(jnp.asarray([seed], dtype=jnp.int32), b1_dev, b2_dev,
-                   prev.reshape(c * k_rows, nhist),
-                   yr.reshape(c * k_rows, p_in))
-        if depth16:
-            planes = out[0].reshape(c, n_out)
-        else:
-            planes = jnp.stack(out[:3]).reshape(3, c, n_out)
-        new_hist = yr[:, -1, :][:, :, None]
-        return planes, out[-1][0, 0], new_hist
-
-    return finish, layout
-
-
 def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              block_bytes: int = DEFAULT_BLOCK_BYTES,
                              interpret: bool = False, jit: bool = True,
@@ -1316,9 +1148,14 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
     kernel whenever expressible — see make_finish_planes), "xla" =
     force the threefry finish_tile epilogue (bit-identical to
     make_phase_step's noise), "kernel" = require the Pallas finish
-    (raises when ineligible), "tail" = require the fused banded-tail
-    + finish pass (make_finish_rational: the ×160/147 matmul moves
-    in-kernel too; raises when ineligible).
+    (raises when ineligible). A fused banded-tail + finish kernel
+    ("tail": the ×160/147 matmul in-kernel too) was built and chip
+    -measured TWICE — v1 (in-kernel lane-concat) 0.60-0.63x and v2
+    (split standard-form dots vs pre-transposed band panels)
+    0.59-0.83x of this path on four production cells
+    (tools/tailfuseab.py slope A/B, 2026-08-20) — and deleted: the
+    XLA banded-natural einsum + standalone finish kernel IS the
+    winning form.
 
     The head runs `make_fused_step` in float mode (no level/dither/
     quantize — those move to the tail so dither and peak act on the
@@ -1368,10 +1205,10 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
             f"(frames mode always runs the threefry XLA epilogue)")
     if finish is None:
         finish = os.environ.get("DSD2DXD_RATIONAL_FINISH", "auto")
-        if finish not in ("auto", "xla", "kernel", "tail"):
+        if finish not in ("auto", "xla", "kernel"):
             raise ConfigError(
                 f"DSD2DXD_RATIONAL_FINISH={finish!r} "
-                f"(want auto, xla, kernel or tail)")
+                f"(want auto, xla or kernel)")
         if finish == "auto":
             finish = None
     head, rstage = tuple(chain[:n_head]), chain[-1]
@@ -1451,32 +1288,13 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         # XLA epilogue, which CPU tests compare bit-identically against
         # make_phase_step).
         if finish == "tail":
-            # fused banded-tail + finish pass (see make_finish_rational)
-            fin_t = None
-            if banded is not None:
-                fin_t = make_finish_rational(cfg, banded, plan.p_in,
-                                             plan.p_out, n_base,
-                                             out_shift=out_shift,
-                                             interpret=interpret)
-            if fin_t is None:
-                if strict_finish:
-                    raise ValueError(
-                        "tail finish not expressible for this cfg")
-                finish = None  # env-selected: fall back to the
-                #                standalone finish kernel below
-        if finish == "tail":
-            finish_t, layout = fin_t
-
-            def step_planes_t(x_w, state, seed):
-                halo, hist = state
-                y, _hp, new_halo = hstep(x_w, halo, seed)
-                planes, peak, new_hist = finish_t(y.astype(dtype), hist,
-                                                  seed)
-                return planes, peak, (new_halo, new_hist)
-
-            return ((jax.jit(step_planes_t, donate_argnums=(1,)) if jit
-                     else step_planes_t), halo_bytes, layout)
-
+            # deleted kernel (see the finish docstring's chip verdict);
+            # env-selected degrades to auto, explicit raises
+            if strict_finish:
+                raise ValueError(
+                    "finish='tail' was removed: the fused banded-tail "
+                    "kernel lost its chip A/B twice (0.59-0.83x)")
+            finish = None
         fin = None
         if finish != "xla" and not (interpret and cfg.dither
                                     is not DitherType.NONE):

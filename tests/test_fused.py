@@ -529,115 +529,6 @@ def test_rational_planes_match_frames(depth, shift):
         (of.astype(np.int64) << shift).astype(np.int32))
 
 
-@pytest.mark.parametrize("depth,shift", [(24, 0), (16, 0), (20, 4)])
-def test_rational_tail_kernel_matches_frames(depth, shift):
-    """finish="tail" (make_finish_rational): the banded ×160/147 tail
-    runs inside the finish kernel as one 164-wide MXU dot instead of
-    the XLA einsum. The contraction is the same 164 taps in the same
-    f32 accumulation class, but the reduction ORDER is the matmul
-    lowering's, so output is tolerance-equivalent to the frames path
-    (±2 LSB24 reduction-order noise, diff RMS ~0.09 LSB — far under
-    the 0.41 LSB TPDF dither floor the f64-oracle tests enforce on
-    the einsum path), NOT bit-exact. Streaming state and peak must
-    agree exactly; the layout must round-trip through both host
-    drains."""
-    from dsd2dxd_tpu.ops.fused import (
-        PlaneLayout,
-        init_fused_rational_state,
-        make_fused_rational_step,
-    )
-    from dsd2dxd_tpu.pipeline.transfer import (
-        deplane_frames,
-        interleave_planes,
-    )
-
-    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
-    cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=depth,
-                     dither=DitherType.NONE, level_db=-1.0)
-    fstep, _h = make_fused_rational_step(chain, cfg, block_bytes=2688,
-                                         interpret=True)
-    tstep, _ht, layout = make_fused_rational_step(
-        chain, cfg, block_bytes=2688, interpret=True, emit="planes",
-        out_shift=shift, finish="tail")
-    assert isinstance(layout, PlaneLayout)
-    assert layout.batch == 1 and layout.rows == 2
-    rng = np.random.default_rng(2)
-    x = rng.integers(0, 256, size=(2, 18816), dtype=np.uint8)
-
-    def st():
-        halo, hist = init_fused_rational_state(chain, 2)
-        return (jnp.asarray(halo), hist)
-
-    of, pkf, stf = fstep(x, st(), 0)
-    ot, pkt, stt = tstep(x, st(), 0)
-    of = np.asarray(of)
-    n = of.shape[0]
-    assert layout.cols == n
-    # streaming state is IDENTICAL (both carry the head halo + the raw
-    # natural suffix of the head output)
-    np.testing.assert_array_equal(np.asarray(stf[0]), np.asarray(stt[0]))
-    np.testing.assert_array_equal(np.asarray(stf[1]), np.asarray(stt[1]))
-    assert float(pkf) == pytest.approx(float(pkt), rel=1e-6)
-    frames = deplane_frames(np.asarray(ot), layout, n)
-    ref = (of.astype(np.int64) << shift).astype(np.int32)
-    d = (frames.astype(np.int64) - ref) >> shift
-    lsb24 = max(1, 2 ** (24 - depth))  # tolerance stated at 24-bit
-    # ±2 LSB24 accuracy class, same bound chipcheck enforces on chip:
-    # ceil(2 / lsb24) output-depth LSBs (= 2 at depth 24, 1 shallower)
-    assert np.abs(d).max() <= max(1, -(-2 // lsb24))
-    assert float(np.sqrt(np.mean(d.astype(np.float64) ** 2))) < 0.2
-    # the wire stream round-trips through the host interleaver
-    wire = interleave_planes(np.asarray(ot), layout, n)
-    v = frames.reshape(-1).astype(np.int64)
-    if depth == 16:
-        expect = v.astype(np.int16).tobytes()
-    else:
-        vv = (v & 0xFFFFFF).astype(np.uint32)
-        b = np.empty((len(vv), 3), np.uint8)
-        b[:, 0] = vv & 0xFF
-        b[:, 1] = (vv >> 8) & 0xFF
-        b[:, 2] = (vv >> 16) & 0xFF
-        expect = b.tobytes()
-    assert wire == expect
-
-
-def test_rational_tail_kernel_streaming():
-    """Two finish="tail" tiles chain state exactly like the XLA-tail
-    path: converting one long signal in two tiles must agree with the
-    same two tiles through the frames path within the reduction-order
-    tolerance (no boundary glitches from the in-kernel history concat)."""
-    from dsd2dxd_tpu.ops.fused import (
-        init_fused_rational_state,
-        make_fused_rational_step,
-    )
-    from dsd2dxd_tpu.pipeline.transfer import deplane_frames
-
-    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
-    cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=24,
-                     dither=DitherType.NONE, level_db=0.0)
-    fstep, _ = make_fused_rational_step(chain, cfg, block_bytes=2688,
-                                        interpret=True)
-    tstep, _, layout = make_fused_rational_step(
-        chain, cfg, block_bytes=2688, interpret=True, emit="planes",
-        finish="tail")
-    rng = np.random.default_rng(7)
-    xs = [rng.integers(0, 256, size=(2, 18816), dtype=np.uint8)
-          for _ in range(2)]
-
-    def st():
-        halo, hist = init_fused_rational_state(chain, 2)
-        return (jnp.asarray(halo), hist)
-
-    sf, stt_ = st(), st()
-    for i, x in enumerate(xs):
-        of, _, sf = fstep(x, sf, i)
-        ot, _, stt_ = tstep(x, stt_, i)
-    of = np.asarray(of)
-    frames = deplane_frames(np.asarray(ot), layout, of.shape[0])
-    d = frames.astype(np.int64) - of.astype(np.int64)
-    assert np.abs(d).max() <= 2
-
-
 def test_planes_emission_atrous_extraction():
     """emit="planes" on an r_tail>1 chain (synthetic ÷256): the phase-0
     extraction happens on the blocked planes without any transpose."""
@@ -1101,18 +992,23 @@ def test_unpack_env_typo_raises_config_error(monkeypatch):
 def test_rational_explicit_finish_requires_planes():
     """An explicit finish= with emit="frames" must raise, not be
     silently ignored: the finish dispatch lives in the planes branch,
-    and before this contract a strict finish="tail" caller got the
-    plain frames step back with no indication their kernel never
-    ran."""
+    and before this contract a strict finish= caller got the plain
+    frames step back with no indication their choice never applied.
+    The removed "tail" kernel's name stays a loud error too (its chip
+    A/B loss is recorded in the finish docstring)."""
     from dsd2dxd_tpu.ops.fused import make_fused_rational_step
 
     chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 384000)
     cfg = StepConfig(channels=2, tile_bytes=18816, bit_depth=24,
                      dither=DitherType.NONE, level_db=0.0)
-    for mode in ("tail", "kernel", "xla"):
+    for mode in ("kernel", "xla"):
         with pytest.raises(ValueError, match="planes"):
             make_fused_rational_step(chain, cfg, block_bytes=2688,
                                      interpret=True, finish=mode)
+    with pytest.raises(ValueError, match="removed"):
+        make_fused_rational_step(chain, cfg, block_bytes=2688,
+                                 interpret=True, emit="planes",
+                                 finish="tail")
 
 
 def test_rational_env_kernel_falls_back_when_ineligible(monkeypatch):

@@ -284,63 +284,6 @@ def main() -> int:
                 failures += 1
                 ok = False
 
-            # Fused banded-tail finish (finish="tail",
-            # make_finish_rational): the in-kernel 164-wide MXU dot is
-            # tolerance-equivalent to the XLA einsum (reduction-order
-            # noise, bound pinned by tests/test_fused.py on CPU:
-            # max ±2 LSB24, diff RMS < 0.2 — far under the 0.41 LSB
-            # dither floor), and its dithered output must show the
-            # same on-core TPDF statistics.
-            try:
-                tstep24, _, tlay = make_fused_rational_step(
-                    chain, cfg24, block_bytes=bb24, emit="planes",
-                    finish="tail")
-                tstep_d, _, tlay_d = make_fused_rational_step(
-                    chain, cfg_d, block_bytes=bb24, emit="planes",
-                    finish="tail")
-            except ValueError as e:
-                print(f"FAIL {rate_name}->{out_hz} tail-fuse build: {e}")
-                failures += 1
-                ok = False
-            else:
-                x_t = rng.integers(0, 256, size=(2, tile), dtype=np.uint8)
-                of_t, _, _ = fstep24(prep_input(x_t, g), init_state(), 0)
-                ot, _, _ = tstep24(prep_input(x_t, g), st_f(), 0)
-                of_t = np.asarray(of_t)
-                ft = deplane_frames(np.asarray(ot), tlay, of_t.shape[0])
-                dd = ft.astype(np.int64) - of_t.reshape(
-                    ft.shape).astype(np.int64)
-                rms_d = float(np.sqrt(np.mean(dd.astype(np.float64) ** 2)))
-                if np.abs(dd).max() > 2 or rms_d > 0.2:
-                    print(f"FAIL {rate_name}->{out_hz} tail-fuse vs "
-                          f"frames: max={np.abs(dd).max()} rms={rms_d:.3f}")
-                    failures += 1
-                    ok = False
-                h_t = st_f()
-                h_e2 = init_state()
-                errs_t = []
-                for t in range(2):
-                    x = rng.integers(0, 256, size=(2, tile),
-                                     dtype=np.uint8)
-                    xf, _, h_e2 = fstep_f(prep_input(x, g), h_e2, t)
-                    xd, _, h_t = tstep_d(prep_input(x, g), h_t, t)
-                    skip = (int(halo_bytes * 8 * ratio) + 1
-                            if t == 0 else 0)
-                    f = np.asarray(xf).astype(np.float64) * (1 << 23)
-                    ints = deplane_frames(np.asarray(xd), tlay_d,
-                                          f.shape[0]).astype(np.float64)
-                    e = (ints - f)[skip:]
-                    e = e[np.abs(f[skip:]) < (1 << 23) - 4]
-                    errs_t.append(e)
-                et = np.concatenate(errs_t)
-                rms_t = float(np.sqrt(np.mean(et ** 2)))
-                mean_t = float(np.mean(et))
-                if not (0.45 < rms_t < 0.56) or abs(mean_t) > 0.01:
-                    print(f"FAIL {rate_name}->{out_hz} tail-fuse TPDF "
-                          f"stats: rms={rms_t:.4f} LSB mean={mean_t:.4f}")
-                    failures += 1
-                    ok = False
-
         # FPD (float "Dither Float") statistics: TPDF at the per-sample
         # ulp, in-kernel on the plain path / XLA epilogue on rational.
         # Against the undithered float output the added noise is
