@@ -639,13 +639,16 @@ def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
     32768 lanes compiles and wins at G=2 (64 KiB); 65536 lanes fails
     Mosaic compilation (G=1 at 64 KiB, G=2 at 128 KiB, G=4 at 256 KiB).
     G=4 at 32768 lanes (128 KiB) compiled but measured no better than
-    64 KiB (round 3), so bytes cap at 64 KiB. G=1 cells split on input
-    rate (same-run 16-vs-32 KiB A/B, r4): DSD64->352.8k LOSES -2% while
-    DSD128->705.6k +4% and DSD256->1411.2k +6% (976->1035x) — the
-    per-block tax scales with blocks per audio second — so G=1 takes
-    32 KiB at DSD128-and-up input rates only. That makes ``in_hz``
-    load-bearing for G=1: callers that omit it get 16 KiB and compile a
-    DIFFERENT kernel than the engine's for those cells.
+    64 KiB (round 3), so bytes cap at 64 KiB. G=1 takes 32 KiB at EVERY
+    input rate: the round-5 same-run 16-vs-32 slope A/B
+    (/tmp/chip_blockg1_r5.log 2026-08-20, recorded in
+    BENCH_r05_local.json) measured 32 KiB winning all three G=1 cells —
+    DSD64->352.8k 6110->6275x (+2.7%), DSD128->705.6k 3046->3145x
+    (+3.3%), DSD256->1411.2k 1505->1559x (+3.6%) — overturning the r4
+    cross-run -2% on DSD64->352.8k that had split the choice by in_hz.
+    ``in_hz`` is therefore no longer load-bearing (kept for API
+    stability; callers that omit it now get the same kernel as the
+    engine).
 
     Applies to both the plain fused step and the rational step's head
     (the decimation the kernel itself runs is what sets block count)."""
@@ -658,10 +661,7 @@ def pick_block_bytes(chain: Sequence[Stage], in_hz: int | None = None) -> int:
         if plan is None:  # pragma: no cover - rational implies plain head
             return DEFAULT_BLOCK_BYTES
     _n_head, g, r_tail = plan
-    if g >= 2:
-        cap_lanes = 32768
-    else:
-        cap_lanes = 32768 if (in_hz or 0) >= 5_644_800 else 16384
+    cap_lanes = 32768
     bb = min(DEEP_BLOCK_BYTES, g * cap_lanes)
     if (bb <= DEFAULT_BLOCK_BYTES
             or bb % (g * 128) != 0 or (bb // g) % r_tail != 0):

@@ -701,13 +701,15 @@ def test_kernel_covers_implies_step_constructs():
 
 
 def test_pick_block_bytes_policy():
-    """Round-4 policy: every G>=2 cell gets the 64 KiB grid block
-    (same-run 16->64 KiB sweeps measured +6-15% on shallow cells too,
-    so the old deep-only gate is gone there); G=1 cells take 32 KiB at
-    DSD128-and-up input rates only (same-run A/B: DSD64->352.8k loses,
-    DSD128->705.6k and DSD256->1411.2k win). The chosen block must
-    satisfy the kernel's own alignment constraints for the cell it's
-    chosen for; in_hz is load-bearing only for G=1."""
+    """Round-5 policy: every G>=2 cell gets the 64 KiB grid block
+    (same-run 16->64 KiB sweeps measured +6-15% on shallow cells too),
+    and G=1 cells take 32 KiB at EVERY input rate — the round-5
+    same-run slope A/B measured 32 KiB winning all three G=1 cells
+    (+2.7 to +3.6%, /tmp/chip_blockg1_r5.log), overturning the r4
+    cross-run DSD64->352.8k loss that had split the choice by in_hz.
+    in_hz no longer affects the choice (rate-less callers compile the
+    SAME kernel as the engine). The chosen block must satisfy the
+    kernel's own alignment constraints for the cell it's chosen for."""
     from dsd2dxd_tpu.ops.fused import (
         DEEP_BLOCK_BYTES,
         DEFAULT_BLOCK_BYTES,
@@ -729,18 +731,11 @@ def test_pick_block_bytes_policy():
                 # byte-capped at 64 KiB; lanes never exceed 32768
                 assert bb == DEEP_BLOCK_BYTES, (rate, out_hz)
                 assert bb // g <= 32768
-                # G>=2 no longer depends on the rate
-                assert pick_block_bytes(chain) == bb
-            elif rate.hz >= DsdRate.DSD128.hz:
-                assert bb == 2 * DEFAULT_BLOCK_BYTES, (rate, out_hz)
             else:
-                assert bb == DEFAULT_BLOCK_BYTES, (rate, out_hz)
+                assert bb == 2 * DEFAULT_BLOCK_BYTES, (rate, out_hz)
+            # in_hz is no longer load-bearing for any G
+            assert pick_block_bytes(chain) == bb
             assert bb % (g * 128) == 0 and (bb // g) % r_tail == 0
-    # G=1 needs the rate: rate-less callers get the conservative default
-    g1_deep = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD256, 1411200)
-    assert pick_block_bytes(g1_deep) == DEFAULT_BLOCK_BYTES
-    assert pick_block_bytes(g1_deep, DsdRate.DSD256.hz) == (
-        2 * DEFAULT_BLOCK_BYTES)
 
 
 def test_mxu_head_optin_matches_phase():
