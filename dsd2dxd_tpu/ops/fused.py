@@ -160,10 +160,12 @@ def mxu_head_count(head: Sequence[Stage], groups: int) -> int:
     composing further would shrink M below an MXU tile while widening
     the dense window, strictly increasing systolic-array passes.
 
-    Bake-off result (round 3, on chip, after the bitcast unpack and
-    pick_block_bytes landed): a WASH on every measured cell —
-    DSD512→352.8k 539 vs 544x, DSD64→352.8k 3461 vs 3546x,
-    DSD256→192k 700 vs 696x (tools/blockbench.py --mxu on/off). The
+    Bake-off result: a WASH-to-LOSS on every measured cell, confirmed
+    TWICE — round 3 single-fetch (DSD512→352.8k 539 vs 544x,
+    DSD64→352.8k 3461 vs 3546x, DSD256→192k 700 vs 696x) and the
+    round-5 intercept-free slope A/B (tools/mxuab.py 2026-08-20,
+    median t_vpu/t_mxu: DSD512→352.8k 1.007, DSD256→192k 0.918,
+    DSD256→352.8k 0.946 — the MXU arm is up to 8% SLOWER). The
     per-block floor is DMA + the 8G-row unpack, which the MXU head
     still pays in full; the FMA work it removes is not the binding
     cost. Kept as an opt-in (`make_fused_step(mxu=True)`) in case the
