@@ -90,6 +90,40 @@ FLOOR_S_PER_BLOCK = 0.0
 UNPACK_OPS = 3          # bitcast unpack: int ops per stream bit (default)
 EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 
+# ---- round-5 per-G calibration (the PRIMARY xrt_model basis) --------------
+# (floor intercept us per 16 KiB of per-channel input, FMA slope us per
+# M slice-FMA elements in floorprof's no-halo bookkeeping), least-
+# squares over the slope-protocol floorprof ladders at each G's
+# PRODUCTION grid block — 8 points per G (4 tap scales x NONE/TPDF),
+# stereo, emit="planes":
+#   G=1 (32 KiB, /tmp/chip_floorg1_r5.log): floor 2.17, slope 2.01
+#       (max resid 0.25 us)
+#   G=2 (64 KiB, /tmp/chip_floorg2_r5.log): floor 1.13, slope 1.47
+#       (max resid 0.16 us)
+#   G=4 (64 KiB): floor 2.07, slope 1.38 — the round-4 ladder on the
+#       real 6-stage /64 a-trous DSD512 structure (slope protocol,
+#       /tmp/chip_floorprof_slope_r4.log); the round-5 /32 5-stage
+#       re-run hit a tunnel stall artifact (a 0.00-us slope point) and
+#       is excluded pending a clean re-measure.
+# Within-G structure the intercept+slope cannot see (r_tail extraction
+# mode, sublane-batch geometry, epilogue variant) lands in the
+# residual — that residual IS the per-cell headroom ranking.
+KERNEL_CAL = {
+    1: (2.17, 2.01),
+    2: (1.13, 1.47),
+    4: (2.07, 1.38),
+}
+# Rational cells: tail einsum + standalone finish kernel, measured
+# 14.29 - 10.48 = 3.81 ms per 47.6 s-audio tile at 384k stereo
+# (BENCH_r04_local round4_levers_slope_protocol ratprof ladder)
+# = 1.04e-10 s per output value at production tile sizes.
+RATIONAL_TAIL_FINISH_S_PER_OUT = 1.04e-10
+# Rational heads emit f32 frames (no in-kernel planes epilogue, a
+# separate HBM round-trip): head_only 10.48 vs plain24_comparator
+# 8.00 ms on the same ladder = +2.42 us per 16 KiB of per-channel
+# input (measured at G=1; applied to all G — single-point basis).
+F32_EMIT_US_PER_16KIB = 2.42
+
 CHANNELS = 2
 OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
 
@@ -100,10 +134,12 @@ def _measured() -> dict:
     late_round3_floor_levers). max() means a refreshed matrix
     automatically supersedes the lever arms."""
     root = Path(__file__).resolve().parent.parent
-    p = root / "BENCH_r04_local.json"
-    if not p.exists():
-        p = root / "BENCH_r03_local.json"
-    if not p.exists():
+    for name in ("BENCH_r05_local.json", "BENCH_r04_local.json",
+                 "BENCH_r03_local.json"):
+        p = root / name
+        if p.exists():
+            break
+    else:
         return {}
     bench = json.loads(p.read_text())
     out = {}
@@ -235,18 +271,41 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     t_floor = (in_hz / 8) * FLOOR_S_PER_BYTE + n_blocks_per_s * FLOOR_S_PER_BLOCK
     t_vpu = (unpack + fma + epilogue) / VPU_ELEMS + t_mxu
     t_fir = (fma + epilogue) / VPU_ELEMS + t_mxu  # floor already has unpack
+
+    # ---- calibrated model (round-5 per-G fit; the PRIMARY bound) ------
+    # no-halo element bookkeeping, identical to tools/floorprof.py's
+    # n_el loop so the calibration and the prediction share a basis
+    p_o = 8 * g
+    lanes16 = 16384 // g
+    el16 = 0.0
+    for s in head_chain:
+        if p_o > 1:
+            p_o //= 2
+            el16 += s.n_taps * p_o * lanes16
+        else:
+            el16 += s.n_taps * lanes16  # a-trous, undecimated
+    floor_us, slope_us = KERNEL_CAL[g]
+    us16 = floor_us + el16 / 1e6 * slope_us
+    if rational:
+        us16 += F32_EMIT_US_PER_16KIB
+    t_cal = (in_hz / 8 / 16384) * us16 * 1e-6
+    if rational:
+        t_cal += out_hz * CHANNELS * RATIONAL_TAIL_FINISH_S_PER_OUT
     return {
         "rational": rational,
         "groups": g,
         "block_bytes": block_bytes,
         "redundancy": round(redundancy, 3),
         "fma_elems_per_s": int(fma),
+        "el16_nohalo_M": round(el16 / 1e6, 3),
         "xrt_hbm": 1.0 / t_hbm,
         "xrt_floor": 1.0 / t_floor,
         "xrt_fir": 1.0 / t_fir,
         "xrt_vpu": 1.0 / t_vpu,
-        "xrt_model": 1.0 / (t_floor + t_fir),
+        "xrt_model": 1.0 / t_cal,
+        "xrt_model_analytic": 1.0 / (t_floor + t_fir),
         "floor_share": t_floor / (t_floor + t_fir),
+        "cal_floor_share": floor_us / us16,
     }
 
 
