@@ -29,9 +29,16 @@ Components modeled per audio-second (stereo, 24-bit planes):
                 (see TAIL_S_PER_OUT_VALUE in cell_model) — the pure
                 MXU MAC time is negligible; the layout/dispatch work
                 around the einsum is what costs.
-- ``model``   — floor + fir, serial. ``floor%`` is the floor's share of
-                model time: high means round-4 effort belongs on
-                per-lane overheads, low means on FMA reduction.
+- ``model``   — the PRIMARY calibrated bound (round 5): per-(G,
+                a-trous) floor+slope constants fit from the slope-
+                protocol floorprof ladders (KERNEL_CAL), plus one
+                measured per-output-value constant for the rational
+                cells' extras (RATIONAL_EXTRA_S_PER_OUT). Against the
+                r4 matrix it brackets 21/22 cells within 94-114%;
+                cells BELOW 100% name real headroom, cells far above
+                flag a stale or structurally-special measurement.
+                The analytic floor+fir bound is kept as
+                ``xrt_model_analytic``.
 
 Usage: python tools/lightspeed.py [--json out.json]
 
@@ -100,29 +107,37 @@ EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 #       (max resid 0.25 us)
 #   G=2 (64 KiB, /tmp/chip_floorg2_r5.log): floor 1.13, slope 1.47
 #       (max resid 0.16 us)
-#   G=4 (64 KiB): floor 2.07, slope 1.38 — the round-4 ladder on the
-#       real 6-stage /64 a-trous DSD512 structure (slope protocol,
-#       /tmp/chip_floorprof_slope_r4.log); the round-5 /32 5-stage
-#       re-run hit a tunnel stall artifact (a 0.00-us slope point) and
-#       is excluded pending a clean re-measure.
-# Within-G structure the intercept+slope cannot see (r_tail extraction
-# mode, sublane-batch geometry, epilogue variant) lands in the
-# residual — that residual IS the per-cell headroom ranking.
+#   G=4 splits in TWO calibration classes (the round-4 single-class
+#   G=4 cal left every pure-/32 cell 1.5-2x ABOVE model):
+#   - pure /32 head (r_tail=1, 5-stage): floor 0.79, slope 1.11 —
+#       round-5 ladder TPDF arm (/tmp/chip_floorg4s5b_r5.log; the
+#       NONE arm of both r5 attempts was tunnel-weather-hit and
+#       non-monotonic, the TPDF arm is clean and monotonic)
+#   - a-trous (r_tail>1, 6-stage /64): floor 2.07, slope 1.38 — the
+#       round-4 ladder on the real DSD512 structure
+#       (/tmp/chip_floorprof_slope_r4.log); the r5 re-run's TPDF arm
+#       reproduces the 2.07 intercept.
+#   The gap between the two classes is the a-trous tail's cost beyond
+#   its element count: dilated slice windows + the phase-0 extraction.
+# Within-class structure the intercept+slope cannot see (sublane-batch
+# geometry, epilogue variant) lands in the residual — that residual IS
+# the per-cell headroom ranking.
 KERNEL_CAL = {
-    1: (2.17, 2.01),
-    2: (1.13, 1.47),
-    4: (2.07, 1.38),
+    (1, False): (2.17, 2.01),
+    (2, False): (1.13, 1.47),
+    (4, False): (0.79, 1.11),
+    (4, True): (2.07, 1.38),
 }
-# Rational cells: tail einsum + standalone finish kernel, measured
-# 14.29 - 10.48 = 3.81 ms per 47.6 s-audio tile at 384k stereo
-# (BENCH_r04_local round4_levers_slope_protocol ratprof ladder)
-# = 1.04e-10 s per output value at production tile sizes.
-RATIONAL_TAIL_FINISH_S_PER_OUT = 1.04e-10
-# Rational heads emit f32 frames (no in-kernel planes epilogue, a
-# separate HBM round-trip): head_only 10.48 vs plain24_comparator
-# 8.00 ms on the same ladder = +2.42 us per 16 KiB of per-channel
-# input (measured at G=1; applied to all G — single-point basis).
-F32_EMIT_US_PER_16KIB = 2.42
+# Rational cells: everything beyond the planes-emission head — the
+# head's f32-emit penalty (a separate (C, n_base) f32 HBM round-trip,
+# cost scaling with BASE-rate values, not input bytes: charging it per
+# input byte overcharged low-rate cells 4x in the first refit), the
+# banded x160/147 tail einsum, and the standalone finish kernel.
+# Measured on the DSD64->384k ratprof ladder (BENCH_r04_local
+# round4_levers_slope_protocol): prod 14.29 - plain24_comparator 8.00
+# = 6.29 ms per 47.6 s-audio tile = 1.72e-10 s per output value
+# (36.6M values/tile; base = out*147/160 folds into the same basis).
+RATIONAL_EXTRA_S_PER_OUT = 1.72e-10
 
 CHANNELS = 2
 OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
@@ -134,14 +149,18 @@ def _measured() -> dict:
     late_round3_floor_levers). max() means a refreshed matrix
     automatically supersedes the lever arms."""
     root = Path(__file__).resolve().parent.parent
+    bench = None
     for name in ("BENCH_r05_local.json", "BENCH_r04_local.json",
                  "BENCH_r03_local.json"):
         p = root / name
         if p.exists():
-            break
-    else:
+            cand = json.loads(p.read_text())
+            # in-progress round files may carry a null matrix
+            if cand.get("rate_matrix_device_xrt"):
+                bench = cand
+                break
+    if bench is None:
         return {}
-    bench = json.loads(p.read_text())
     out = {}
     for rate, cells in bench.get("rate_matrix_device_xrt", {}).items():
         if not isinstance(cells, dict):
@@ -284,13 +303,11 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
             el16 += s.n_taps * p_o * lanes16
         else:
             el16 += s.n_taps * lanes16  # a-trous, undecimated
-    floor_us, slope_us = KERNEL_CAL[g]
+    floor_us, slope_us = KERNEL_CAL[(g, r_tail > 1)]
     us16 = floor_us + el16 / 1e6 * slope_us
-    if rational:
-        us16 += F32_EMIT_US_PER_16KIB
     t_cal = (in_hz / 8 / 16384) * us16 * 1e-6
     if rational:
-        t_cal += out_hz * CHANNELS * RATIONAL_TAIL_FINISH_S_PER_OUT
+        t_cal += out_hz * CHANNELS * RATIONAL_EXTRA_S_PER_OUT
     return {
         "rational": rational,
         "groups": g,
@@ -340,9 +357,21 @@ def main() -> None:
                   f"{m['xrt_hbm']:>8.0f}  {m['floor_share']:>5.0%}{tag}")
             rows.append({"cell": f"{rate.name}->{hz}", "measured": meas,
                          **m})
+    ranked = sorted((r for r in rows if r["measured"]),
+                    key=lambda r: r["measured"] / r["xrt_model"])
+    if ranked:
+        worst = ", ".join(
+            f"{r['cell']} {100 * r['measured'] / r['xrt_model']:.0f}%"
+            for r in ranked[:4])
+        print(f"most headroom (lowest measured/model): {worst}")
     if args.json:
         args.json.write_text(json.dumps({
             "constants": {"hbm_bw": HBM_BW, "vpu_elems": VPU_ELEMS,
+                          "kernel_cal": {f"G{g}_{'atrous' if a else 'pure'}":
+                                         v for (g, a), v in
+                                         KERNEL_CAL.items()},
+                          "rational_extra_s_per_out":
+                              RATIONAL_EXTRA_S_PER_OUT,
                           "floor_s_per_byte": FLOOR_S_PER_BYTE,
                           "floor_s_per_block": FLOOR_S_PER_BLOCK},
             "cells": rows}, indent=1))
