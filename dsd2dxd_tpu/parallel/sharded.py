@@ -187,6 +187,12 @@ def _fused_tile_parts(chain, cfg: StepConfig, block_bytes: int,
     if fused.word_rows(g) != 1:
         raise ValueError("word-row layouts have a row-grouped halo; the "
                          "sharded body only splits flat word prefixes")
+    if interpret and cfg.dither is not DitherType.NONE:
+        # the on-core PRNG has no CPU interpret lowering; raising HERE
+        # (build time) lets env-selected "fused" degrade to the phase
+        # body instead of crashing at the first dithered dispatch
+        raise ValueError("dithered interpret builds cannot run the "
+                         "kernel's on-core PRNG")
     step, _hb = fused.make_fused_step(chain, cfg, block_bytes=block_bytes,
                                       interpret=interpret, jit=False)
     halo_words = fused.init_fused_halo(chain, cfg.channels).shape[1]

@@ -559,3 +559,21 @@ def test_sharded_body_dispatch_decision(monkeypatch):
     monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
     got, _ = convert_stream_tiled(planes, chain_r, cfg, mesh)
     assert got.shape[1] == 2
+
+
+def test_fused_body_dithered_interpret_degrades(monkeypatch):
+    """Env-selected fused body + dithered cfg on a CPU mesh must fall
+    back to the phase body at BUILD time (ValueError from
+    _fused_tile_parts), not crash at the first dispatch — the on-core
+    PRNG has no CPU interpret lowering. The explicit body="fused"
+    argument stays loud."""
+    mesh = _mesh_1d(4)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    planes = synth_tone_dsd(1000.0, 0.02, 2_822_400, channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    with pytest.raises(ValueError, match="PRNG"):
+        convert_stream_tiled(planes, chain, cfg, mesh, body="fused")
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    got, _peak = convert_stream_tiled(planes, chain, cfg, mesh)
+    assert got.shape[1] == 2  # phase-body fallback converted it
