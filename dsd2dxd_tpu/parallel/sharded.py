@@ -114,7 +114,8 @@ def _resolve_body(chain, body):
         from dsd2dxd_tpu.ops import fused
 
         if (jax.default_backend() == "tpu"
-                and fused.fused_plan(chain) is not None):
+                and (fused.fused_plan(chain) is not None
+                     or fused.fused_rational_plan(chain) is not None)):
             return "fused", False, False
         return "phase", False, False
     if body == "fused":
@@ -200,6 +201,71 @@ def _fused_tile_parts(chain, cfg: StepConfig, block_bytes: int,
     def fn(xw, seeds):
         out, peak, _new_halo = step(xw[0, :, halo_words:],
                                     xw[0, :, :halo_words], seeds[0])
+        return out[None], peak.reshape(1)
+
+    return fn, halo_words, g
+
+
+def _fused_rational_tile_parts(chain, cfg: StepConfig, block_bytes: int,
+                               lead_bytes: int, interpret: bool):
+    """Fused per-shard body for the 48k-family chains (Pallas ÷2^m head
+    + XLA ×160/147 tail): ``fn(x_w (1, C, halo+lead+tile words),
+    seeds (1,)) -> ((1, n_keep, C), (1,) peak)``.
+
+    The head's halo-prefix words feed the kernel's streaming halo state
+    (exact, as in the plain body); the rational tail's history starts
+    at ZERO and is warmed by ``lead_bytes`` of real previous input
+    ahead of the tile — the step drops the lead's outputs before the
+    finish epilogue (make_fused_rational_step lead_drop), so warmup
+    never reaches the peak tracker or consumes dither, and every kept
+    output sees its full receptive field of real data. Kept outputs
+    match the streaming rational path to the REDUCTION-ORDER class
+    (whole-phase-cycle lead alignment keeps the banded einsum's block
+    grouping identical, but the lead widens the einsum's K extent and
+    XLA may pick a different f32 reduction order: ±1 ulp pre-quantize,
+    ±1 LSB quantized — tests pin it; dither noise itself is identical
+    per (seed, kept position)). cfg.tile_bytes must include the lead.
+    Raises
+    ValueError when not expressible (callers fall back to the phase
+    body). Unlike the plain body, dithered interpret builds are FINE:
+    the rational frames epilogue dithers with threefry, not the
+    on-core PRNG."""
+    from fractions import Fraction
+
+    from dsd2dxd_tpu.ops import fused
+
+    n_head = fused.fused_rational_plan(chain)
+    if n_head is None:
+        raise ValueError("chain is not fused-head + rational-tail shaped")
+    head = tuple(chain[:n_head])
+    g = fused.fused_plan(head)[1]
+    if fused.word_rows(g) != 1:
+        raise ValueError("word-row layouts have a row-grouped halo; the "
+                         "sharded body only splits flat word prefixes")
+    r_head = 1
+    for s in head:
+        r_head *= s.M
+    lead_base = lead_bytes * 8 // r_head
+    need = stage_history_len(chain[-1])
+    if lead_base < need:
+        raise ValueError(f"lead of {lead_bytes} bytes warms {lead_base} "
+                         f"base samples; the tail history needs {need}")
+    r = Fraction(1)
+    for s in chain:
+        r *= Fraction(s.L, s.M)
+    ld = lead_bytes * 8 * r
+    if ld.denominator != 1:
+        raise ValueError("lead not aligned to whole output samples")
+    step, _hb = fused.make_fused_rational_step(
+        chain, cfg, block_bytes=block_bytes, interpret=interpret,
+        jit=False, lead_drop=int(ld))
+    halo0, hist0 = fused.init_fused_rational_state(chain, cfg.channels)
+    halo_words = halo0.shape[1]
+    hist0 = jax.tree.map(jnp.asarray, hist0)
+
+    def fn(xw, seeds):
+        out, peak, _st = step(xw[0, :, halo_words:],
+                              (xw[0, :, :halo_words], hist0), seeds[0])
         return out[None], peak.reshape(1)
 
     return fn, halo_words, g
@@ -332,13 +398,20 @@ def _convert_stream_tiled_fused(planes: np.ndarray, chain,
     axis = mesh.axis_names[0]
     n_dev = math.prod(mesh.devices.shape)
     c, total = planes.shape
+    plain = fused.fused_plan(chain) is not None
     block = fused.pick_block_bytes(chain, in_hz)
     unit = math.lcm(_chain_unit_bytes(chain), block)
     tile_bytes = -(-total // (n_dev * unit)) * unit
-    sub_cfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
-    fn_local, halo_words, g = _fused_tile_parts(chain, sub_cfg, block,
-                                                interpret)
-    halo = halo_words * g
+    lead = 0 if plain else unit  # warms the rational tail history
+    sub_cfg = dataclasses.replace(cfg, channels=c,
+                                  tile_bytes=lead + tile_bytes)
+    if plain:
+        fn_local, halo_words, g = _fused_tile_parts(chain, sub_cfg,
+                                                    block, interpret)
+    else:
+        fn_local, halo_words, g = _fused_rational_tile_parts(
+            chain, sub_cfg, block, lead, interpret)
+    halo = halo_words * g + lead
     tiles = split_overlap_save(planes, n_dev, tile_bytes, halo)
     x_w = fused.prep_input(tiles.reshape(n_dev * c, -1), g)
     x_w = x_w.reshape(n_dev, c, -1)
@@ -411,14 +484,21 @@ def convert_stream_tiled_chunked(read, chain, cfg: StepConfig, mesh: Mesh,
         from dsd2dxd_tpu.ops import fused
 
         try:
+            plain = fused.fused_plan(chain) is not None
             block = fused.pick_block_bytes(chain, in_hz)
             unit_f = math.lcm(unit, block)
             tile_bytes = max(unit_f, -(-cfg.tile_bytes // unit_f) * unit_f)
-            sub_cfg = dataclasses.replace(cfg, tile_bytes=tile_bytes)
-            fn_local, halo_words, fused_g = _fused_tile_parts(
-                chain, sub_cfg, block, interp)
+            lead = 0 if plain else unit_f  # warms the rational tail
+            sub_cfg = dataclasses.replace(cfg,
+                                          tile_bytes=lead + tile_bytes)
+            if plain:
+                fn_local, halo_words, fused_g = _fused_tile_parts(
+                    chain, sub_cfg, block, interp)
+            else:
+                fn_local, halo_words, fused_g = _fused_rational_tile_parts(
+                    chain, sub_cfg, block, lead, interp)
             unit = unit_f
-            halo = halo_words * fused_g
+            halo = halo_words * fused_g + lead
         except ValueError:
             if forced:
                 raise

@@ -527,14 +527,12 @@ class Converter:
 
     def _sharded_kernel_eligible(self, chain, float_out: bool) -> bool:
         """Will the tile-sharded path run the fused kernel per shard?
-        The sharded body covers PLAIN fused chains only (rational
-        chains fall back to the phase body — parallel/sharded
-        ._resolve_body), so the gate is _kernel_eligible AND a plain
-        plan."""
-        from dsd2dxd_tpu.ops import fused
-
-        return (self._kernel_eligible(chain, float_out)
-                and fused.fused_plan(chain) is not None)
+        The sharded body covers both chain shapes (plain fused, and
+        rational via the lead-warmup tile body — parallel/sharded
+        ._fused_rational_tile_parts), so this mirrors
+        _kernel_eligible; make_fused_*_step's ValueErrors remain the
+        backstop (the sharded dispatch degrades to the phase body)."""
+        return self._kernel_eligible(chain, float_out)
 
     def _run_tile_sharded(self, mesh, chain, ratio, cfg, cancel, progress,
                           sink) -> float:

@@ -548,16 +548,20 @@ def test_sharded_body_dispatch_decision(monkeypatch):
     with pytest.raises(ConfigError, match="DSD2DXD_SHARDED_BODY"):
         _resolve_body(chain, None)
     monkeypatch.delenv("DSD2DXD_SHARDED_BODY")
-    # explicit fused on a rational chain: loud
+    # explicit fused on an ineligible CFG (NJAD has no kernel path —
+    # the engine requantizes on host): loud. Rational CHAINS are
+    # eligible since the lead-warmup body landed
+    # (test_fused_rational_body_matches_streaming).
     mesh = _mesh_1d(4)
     planes = synth_tone_dsd(1000.0, 0.02, 2_822_400, channels=2)
-    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=32,
-                     dither=DitherType.NONE, level_db=0.0)
-    with pytest.raises(ValueError, match="fused"):
-        convert_stream_tiled(planes, chain_r, cfg, mesh, body="fused")
-    # env-selected fused on the same chain degrades to the phase body
+    cfg_njad = StepConfig(channels=2, tile_bytes=0, bit_depth=24,
+                          dither=DitherType.NJAD, level_db=0.0)
+    with pytest.raises(ValueError):
+        convert_stream_tiled(planes, chain_r, cfg_njad, mesh,
+                             body="fused")
+    # env-selected fused with the same cfg degrades to the phase body
     monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
-    got, _ = convert_stream_tiled(planes, chain_r, cfg, mesh)
+    got, _ = convert_stream_tiled(planes, chain_r, cfg_njad, mesh)
     assert got.shape[1] == 2
 
 
@@ -577,3 +581,70 @@ def test_fused_body_dithered_interpret_degrades(monkeypatch):
     monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
     got, _peak = convert_stream_tiled(planes, chain, cfg, mesh)
     assert got.shape[1] == 2  # phase-body fallback converted it
+
+
+@pytest.mark.parametrize("bit_depth,dither", [
+    (32, DitherType.NONE),
+    (24, DitherType.TPDF),   # rational frames dither is threefry: works
+                             # in interpret mode, and the kept region's
+                             # noise geometry matches streaming exactly
+])
+def test_fused_rational_body_matches_streaming(bit_depth, dither):
+    """The 48k-family sharded body (lead-warmup + in-step lead_drop):
+    every kept output sees its full receptive field of real data,
+    whole-phase-cycle lead alignment keeps the banded einsum's block
+    grouping identical, and finish_tile noise indexes the kept region
+    from position 0 with the same seed either way — so sharded output
+    matches the streaming rational fused path to the reduction-order
+    class: the lead changes the einsum's K extent, letting XLA pick a
+    different f32 reduction order (±1 ulp pre-quantize, ±1 LSB after
+    24-bit quantization). Float output measures bit-exact in interpret
+    mode; the int tolerance is the honest cross-shape contract."""
+    import dataclasses
+    import math
+
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes, _fused_seeds
+
+    n_dev = 4
+    mesh = _mesh_1d(n_dev)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    planes = synth_tone_dsd(1000.0, 0.05, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.0)
+    got, _peak = convert_stream_tiled(planes, chain, cfg, mesh,
+                                      body="fused")
+    # streaming oracle: same tile geometry, carried (halo, hist) state,
+    # same seed derivation, NO lead
+    c, total = planes.shape
+    block = fused.pick_block_bytes(chain)
+    unit = math.lcm(_chain_unit_bytes(chain), block)
+    tile_bytes = -(-total // (n_dev * unit)) * unit
+    scfg = dataclasses.replace(cfg, tile_bytes=tile_bytes)
+    step, _ = fused.make_fused_rational_step(chain, scfg,
+                                             block_bytes=block,
+                                             interpret=True, jit=False)
+    halo0, hist0 = fused.init_fused_rational_state(chain, 2)
+    state = (jnp.asarray(halo0), hist0)
+    g = fused.fused_plan(chain[:fused.fused_rational_plan(chain)])[1]
+    need = n_dev * tile_bytes
+    padded = np.concatenate(
+        [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
+    seeds = np.asarray(_fused_seeds(jax.random.PRNGKey(0x5D5D), 0, n_dev))
+    outs = []
+    for t in range(n_dev):
+        xw = fused.prep_input(np.ascontiguousarray(
+            padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
+        o, _pk, state = step(xw, state, int(seeds[t]))
+        outs.append(np.asarray(o))
+    ref = np.concatenate(outs)
+    n = min(len(got), len(ref))
+    if bit_depth == 32:
+        np.testing.assert_array_equal(got[:n], ref[:n])
+    else:
+        d = got[:n].astype(np.int64) - ref[:n].astype(np.int64)
+        assert np.abs(d).max() <= 1, np.abs(d).max()
+        # identical noise; ±1-ulp reduction-order diffs flip the
+        # rounding of the ~5% of dithered values nearest a boundary
+        assert (d == 0).mean() > 0.9
