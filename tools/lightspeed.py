@@ -133,11 +133,17 @@ KERNEL_CAL = {
 # cost scaling with BASE-rate values, not input bytes: charging it per
 # input byte overcharged low-rate cells 4x in the first refit), the
 # banded x160/147 tail einsum, and the standalone finish kernel.
-# Measured on the DSD64->384k ratprof ladder (BENCH_r04_local
-# round4_levers_slope_protocol): prod 14.29 - plain24_comparator 8.00
-# = 6.29 ms per 47.6 s-audio tile = 1.72e-10 s per output value
-# (36.6M values/tile; base = out*147/160 folds into the same basis).
-RATIONAL_EXTRA_S_PER_OUT = 1.72e-10
+# Measured per HEAD G as (prod - plain24_comparator) / output values
+# on ratprof ladders:
+#   G=1 head: DSD64->384k, 14.29 - 8.00 ms per 47.6 s-audio tile
+#       (BENCH_r04_local round4_levers_slope_protocol) = 1.72e-10
+#   G=4 head: DSD128->192k, 5.59 - 4.20 ms per 27.3 s tile
+#       (/tmp/chip_ratprof_g4_r5.log 2026-08-20) = 1.33e-10
+#   G=2 head: geometric interpolation 1.51e-10 — the measured G=2
+#       ladder (DSD64->192k, same run) was tunnel-weather-hit
+#       (nodither rung ABOVE prod, prod rung itself 2x the fresh
+#       matrix); re-measure on a calm tunnel before trusting it.
+RATIONAL_EXTRA_S_PER_OUT = {1: 1.72e-10, 2: 1.51e-10, 4: 1.33e-10}
 
 CHANNELS = 2
 OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
@@ -307,7 +313,7 @@ def cell_model(rate: DsdRate, out_hz: int) -> dict:
     us16 = floor_us + el16 / 1e6 * slope_us
     t_cal = (in_hz / 8 / 16384) * us16 * 1e-6
     if rational:
-        t_cal += out_hz * CHANNELS * RATIONAL_EXTRA_S_PER_OUT
+        t_cal += out_hz * CHANNELS * RATIONAL_EXTRA_S_PER_OUT[g]
     return {
         "rational": rational,
         "groups": g,
