@@ -139,11 +139,15 @@ KERNEL_CAL = {
 #       (BENCH_r04_local round4_levers_slope_protocol) = 1.72e-10
 #   G=4 head: DSD128->192k, 5.59 - 4.20 ms per 27.3 s tile
 #       (/tmp/chip_ratprof_g4_r5.log 2026-08-20) = 1.33e-10
-#   G=2 head: geometric interpolation 1.51e-10 — the measured G=2
-#       ladder (DSD64->192k, same run) was tunnel-weather-hit
-#       (nodither rung ABOVE prod, prod rung itself 2x the fresh
-#       matrix); re-measure on a calm tunnel before trusting it.
-RATIONAL_EXTRA_S_PER_OUT = {1: 1.72e-10, 2: 1.51e-10, 4: 1.33e-10}
+#   G=2 head: DSD64->192k, 9.55 - 6.09 ms per 54.6 s tile
+#       (/tmp/chip_ratprof_g2b_r5.log retry; the first attempt was
+#       weather-hit) = 1.65e-10. CAVEAT on this cell: its ladder prod
+#       rung (5716x) and the same-day chipcheck matrix (7445x)
+#       disagree by 30% — cross-run variance through the tunnel bounds
+#       what single-cell residuals can mean, so DSD64->192k's ~126%
+#       model residual is within measurement uncertainty, not proven
+#       headroom.
+RATIONAL_EXTRA_S_PER_OUT = {1: 1.72e-10, 2: 1.65e-10, 4: 1.33e-10}
 
 CHANNELS = 2
 OUT_BYTES_PER_SAMPLE = 3  # 24-bit byte planes on the wire
