@@ -285,8 +285,20 @@ def main() -> int:
             lambda: run(step_p, tiles_p), lambda: run(step_f, tiles_f),
             args.pairs)
         audio = len(tiles_f) * big * 8 / rate.hz
-        print(f"  perf: phase-body {audio / min(ta):6.0f}x  fused-body "
-              f"{audio / min(tb):6.0f}x  t_phase/t_fused median {med:.2f}")
+        # slope underflow: when one arm's t_hi-t_lo collapses into
+        # measurement noise (a slow opposing arm starves it of warm
+        # cache, or a tunnel stall lands between the two points) the
+        # xrt explodes to nonsense — flag instead of reporting it
+        # (observed: DSD256->352.8k "4.7e10x", CHIP_SHARDCHECK_r05.log)
+        floor_s = 50e-6 * len(tiles_f)
+        if min(tb) < floor_s or min(ta) < floor_s:
+            print(f"  perf: slope underflow (t_phase {min(ta) * 1e3:.2f}"
+                  f" / t_fused {min(tb) * 1e3:.2f} ms) — rerun on a "
+                  f"calm tunnel")
+        else:
+            print(f"  perf: phase-body {audio / min(ta):6.0f}x  "
+                  f"fused-body {audio / min(tb):6.0f}x  "
+                  f"t_phase/t_fused median {med:.2f}")
     print(f"shardcheck: {failures} failures")
     return 1 if failures else 0
 
