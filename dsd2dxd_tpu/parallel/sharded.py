@@ -120,6 +120,12 @@ def _resolve_body(chain, body):
         return "phase", False, False
     if body == "fused":
         return "fused", jax.default_backend() != "tpu", forced
+    if body != "phase":
+        # loud for the explicit argument too (the env path already
+        # raises ConfigError): a typo'd body= would otherwise silently
+        # benchmark/validate the phase body under the fused name
+        raise ValueError(f"body={body!r} (want None/'auto', 'fused' or "
+                         f"'phase')")
     return "phase", False, False
 
 
@@ -335,8 +341,9 @@ def convert_stream_tiled(planes: np.ndarray, chain, cfg: StepConfig,
     ``body``/``in_hz``: per-shard tile body selection (`_resolve_body`)
     — on TPU the production fused kernel runs inside shard_map, with
     each tile's halo prefix feeding the kernel's streaming halo state
-    (exact streaming semantics); `in_hz` (input DSD rate) feeds
-    `fused.pick_block_bytes`, load-bearing for G=1 cells.
+    (exact streaming semantics); `in_hz` (input DSD rate) is forwarded
+    to `fused.pick_block_bytes` for API parity with the engine (since
+    the round-5 G=1 flip it no longer changes the chosen block).
     """
     assert len(mesh.axis_names) == 1, "convert_stream_tiled wants a 1D mesh"
     axis = mesh.axis_names[0]

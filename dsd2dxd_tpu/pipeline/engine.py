@@ -383,10 +383,12 @@ class Converter:
             mult = int(info.rate)
             if mesh is not None:
                 # sharded tiles dispatch the fused kernel per shard for
-                # plain chains (parallel/sharded._resolve_body); only
-                # when the body falls back to the XLA phase path (e.g.
-                # rational chains) does its rephase-padding memory
-                # profile gate the tile scale
+                # BOTH chain shapes (plain, and rational via the
+                # lead-warmup tile body — parallel/sharded
+                # ._resolve_body); only when the body falls back to
+                # the XLA phase path (ineligible cfg, CPU mesh) does
+                # its rephase-padding memory profile gate the tile
+                # scale
                 if not self._sharded_kernel_eligible(chain, float_out):
                     mult = min(mult, 4)
             elif not self._kernel_eligible(chain, float_out):

@@ -37,9 +37,21 @@ def test_host_stages_within_2x_of_recorded_budget():
     assert set(runners) == set(recorded), (
         "stage set drifted: refresh with tools/hostbudget.py --write")
     slow = []
-    for name, (fn, _env) in runners.items():
-        fn()  # warm (first call builds native lib / page-faults inputs)
-        best = min(_timed(fn) for _ in range(3))
+    for name, (fn, env) in runners.items():
+        # pin threads to 1 like the recorded table (hostbudget measures
+        # xrt_per_core via with_threads(1)): on a multi-core box the
+        # default pool parallelism would mask exactly the single-core
+        # regression this tripwire exists to catch
+        import os
+
+        if env:
+            os.environ[env] = "1"
+        try:
+            fn()  # warm (first call builds native lib / faults inputs)
+            best = min(_timed(fn) for _ in range(3))
+        finally:
+            if env:
+                os.environ.pop(env, None)
         xrt = secs / best
         floor = recorded[name]["xrt_per_core"] / 2.0
         if xrt < floor:

@@ -539,6 +539,8 @@ def test_sharded_body_dispatch_decision(monkeypatch):
     chain_r = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
     assert _resolve_body(chain, None)[0] == "phase"  # CPU backend
     assert _resolve_body(chain, "phase") == ("phase", False, False)
+    with pytest.raises(ValueError, match="body="):
+        _resolve_body(chain, "fusedd")  # explicit typo: loud too
     mode, interp, forced = _resolve_body(chain, "fused")
     assert mode == "fused" and interp and forced
     monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
