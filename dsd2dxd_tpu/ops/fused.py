@@ -1142,18 +1142,9 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
                              mxu: bool | None = None,
                              unpack: str | None = None,
                              tail_block: int | None = None,
-                             finish: str | None = None,
-                             lead_drop: int = 0):
+                             finish: str | None = None):
     """Single-pass kernel for the decimation head + one XLA polyphase
     stage for the trailing rational (×160/147) family conversion.
-
-    ``lead_drop`` (frames mode only): drop this many leading OUTPUT
-    samples before the finish epilogue. The sharded tile body
-    (parallel/sharded.py) feeds each overlap-save tile extra lead
-    input to warm the rational tail's history from zero — the dropped
-    region is the warmup, so it must never reach the peak tracker or
-    consume dither. Must correspond to whole rational phase cycles
-    (the caller's tile unit guarantees it).
 
     ``finish`` (planes mode only): None = auto (the Pallas finish
     kernel whenever expressible — see make_finish_planes), "xla" =
@@ -1209,8 +1200,6 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
     n_head = fused_rational_plan(chain)
     if n_head is None:
         raise ValueError("chain is not fused-head + rational-tail shaped")
-    if lead_drop and emit != "frames":
-        raise ValueError("lead_drop applies to emit='frames' only")
     strict_finish = finish is not None
     if strict_finish and emit != "planes":
         raise ValueError(
@@ -1285,8 +1274,6 @@ def make_fused_rational_step(chain: Sequence[Stage], cfg: StepConfig,
         halo, hist = state
         y, _head_peak, new_halo = hstep(x_w, halo, seed)  # (C, n_base) f32
         z, new_hist = tail(y, hist)
-        if lead_drop:
-            z = z[:, lead_drop:]  # warmup region: never finished
         out, peak = finish_tile(z, cfg,
                                 jax.random.fold_in(base_key, seed), gain)
         return out, peak, (new_halo, new_hist)

@@ -212,33 +212,53 @@ def _fused_tile_parts(chain, cfg: StepConfig, block_bytes: int,
     return fn, halo_words, g
 
 
+def _fused_body(chain, cfg: StepConfig, channels: int, tile_bytes: int,
+                block: int, plain: bool, interpret: bool):
+    """Shared fused-body construction for the one-dispatch and chunked
+    converters (one copy, so their tile geometry cannot drift —
+    test_fused_body_chunked_matches_one_dispatch relies on it):
+    (fn_local, prefix_bytes, g). ``prefix_bytes`` is the per-tile real
+    -previous-bytes prefix ahead of the tile (plain: the kernel halo;
+    rational: halo + one warm head block)."""
+    sub_cfg = dataclasses.replace(cfg, channels=channels,
+                                  tile_bytes=tile_bytes)
+    if plain:
+        fn, halo_words, g = _fused_tile_parts(chain, sub_cfg, block,
+                                              interpret)
+        return fn, halo_words * g, g
+    return _fused_rational_tile_parts(chain, sub_cfg, block, interpret)
+
+
 def _fused_rational_tile_parts(chain, cfg: StepConfig, block_bytes: int,
-                               lead_bytes: int, interpret: bool):
+                               interpret: bool):
     """Fused per-shard body for the 48k-family chains (Pallas ÷2^m head
-    + XLA ×160/147 tail): ``fn(x_w (1, C, halo+lead+tile words),
+    + XLA ×160/147 tail): ``fn(x_w (1, C, halo+warm+tile words),
     seeds (1,)) -> ((1, n_keep, C), (1,) peak)``.
 
-    The head's halo-prefix words feed the kernel's streaming halo state
-    (exact, as in the plain body); the rational tail's history starts
-    at ZERO and is warmed by ``lead_bytes`` of real previous input
-    ahead of the tile — the step drops the lead's outputs before the
-    finish epilogue (make_fused_rational_step lead_drop), so warmup
-    never reaches the peak tracker or consumes dither, and every kept
-    output sees its full receptive field of real data. Kept outputs
-    match the streaming rational path to the REDUCTION-ORDER class
-    (whole-phase-cycle lead alignment keeps the banded einsum's block
-    grouping identical, but the lead widens the einsum's K extent and
-    XLA may pick a different f32 reduction order: ±1 ulp pre-quantize,
-    ±1 LSB quantized — tests pin it; dither noise itself is identical
-    per (seed, kept position)). cfg.tile_bytes must include the lead.
-    Raises
-    ValueError when not expressible (callers fall back to the phase
-    body). Unlike the plain body, dithered interpret builds are FINE:
-    the rational frames epilogue dithers with threefry, not the
-    on-core PRNG."""
-    from fractions import Fraction
+    The tile's prefix is [head halo | ONE head grid block of real
+    previous input | tile]. A head-only warm pass over that block
+    (same kernel, float mode — exactly how make_fused_rational_step
+    runs its own head) yields (a) its new-halo output = the head's
+    streaming halo state AT the tile start, and (b) its last p_in base
+    samples = the rational tail's streaming history, both bit-exact
+    (the kernel's per-output FMA order is position-independent — the
+    same determinism the fused-vs-phase equivalence tests rest on).
+    The main step then runs the tile exactly as the streaming engine
+    would: sharded output is BIT-EXACT vs the streaming rational path,
+    dithered configs included (same finish_tile geometry and seed).
+    An earlier lead-warmup variant instead prepended a full tile-unit
+    of input and dropped its outputs — correct, but the unit is
+    lcm(chain unit, grid block) ≈ 4.8-9.6 MiB for every 48k cell, so
+    33-100% of each tile's head+tail work was discarded warmup
+    (round-5 review); the warm block costs one ~64 KiB head pass
+    instead. Returns (fn, prefix_bytes, g); raises ValueError when not
+    expressible (callers fall back to the phase body). Dithered
+    interpret builds are FINE here — the rational frames epilogue
+    dithers with threefry, not the on-core PRNG."""
+    import dataclasses
 
     from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.ops.phase import build_plan, plan_banded_natural
 
     n_head = fused.fused_rational_plan(chain)
     if n_head is None:
@@ -248,33 +268,45 @@ def _fused_rational_tile_parts(chain, cfg: StepConfig, block_bytes: int,
     if fused.word_rows(g) != 1:
         raise ValueError("word-row layouts have a row-grouped halo; the "
                          "sharded body only splits flat word prefixes")
+    plan = build_plan(chain[-1], p_in=1)
+    if plan_banded_natural(plan) is None:
+        # the warm hist below is the banded tail's (C, p_in, 1) natural
+        # suffix; non-banded rational stages keep the phase body
+        raise ValueError("rational warm-hist body needs the banded tail")
+    p_in = plan.p_in
     r_head = 1
     for s in head:
         r_head *= s.M
-    lead_base = lead_bytes * 8 // r_head
-    need = stage_history_len(chain[-1])
-    if lead_base < need:
-        raise ValueError(f"lead of {lead_bytes} bytes warms {lead_base} "
-                         f"base samples; the tail history needs {need}")
-    r = Fraction(1)
-    for s in chain:
-        r *= Fraction(s.L, s.M)
-    ld = lead_bytes * 8 * r
-    if ld.denominator != 1:
-        raise ValueError("lead not aligned to whole output samples")
+    n_warm = block_bytes * 8 // r_head
+    if n_warm < p_in:
+        raise ValueError(f"one {block_bytes}-byte head block yields "
+                         f"{n_warm} base samples < p_in {p_in}")
+    # same head config make_fused_rational_step builds internally
+    # (fused.py: bit_depth=32, dither NONE, level 0, transpose=False)
+    head_cfg = dataclasses.replace(cfg, bit_depth=32,
+                                   dither=DitherType.NONE,
+                                   level_db=0.0, tile_bytes=block_bytes)
+    hstep, _ = fused.make_fused_step(head, head_cfg,
+                                     block_bytes=block_bytes,
+                                     interpret=interpret, jit=False,
+                                     transpose=False)
     step, _hb = fused.make_fused_rational_step(
         chain, cfg, block_bytes=block_bytes, interpret=interpret,
-        jit=False, lead_drop=int(ld))
-    halo0, hist0 = fused.init_fused_rational_state(chain, cfg.channels)
-    halo_words = halo0.shape[1]
-    hist0 = jax.tree.map(jnp.asarray, hist0)
+        jit=False)
+    halo_words = fused.init_fused_halo(head, cfg.channels).shape[1]
+    warm_words = block_bytes // g
 
     def fn(xw, seeds):
-        out, peak, _st = step(xw[0, :, halo_words:],
-                              (xw[0, :, :halo_words], hist0), seeds[0])
+        x = xw[0]
+        y_warm, _pk, halo_main = hstep(
+            x[:, halo_words:halo_words + warm_words],
+            x[:, :halo_words], seeds[0])
+        hist = y_warm[:, -p_in:][:, :, None]
+        out, peak, _st = step(x[:, halo_words + warm_words:],
+                              (halo_main, hist), seeds[0])
         return out[None], peak.reshape(1)
 
-    return fn, halo_words, g
+    return fn, halo_words * g + block_bytes, g
 
 
 def make_sharded_convert(chain, cfg: StepConfig, mesh: Mesh,
@@ -409,16 +441,8 @@ def _convert_stream_tiled_fused(planes: np.ndarray, chain,
     block = fused.pick_block_bytes(chain, in_hz)
     unit = math.lcm(_chain_unit_bytes(chain), block)
     tile_bytes = -(-total // (n_dev * unit)) * unit
-    lead = 0 if plain else unit  # warms the rational tail history
-    sub_cfg = dataclasses.replace(cfg, channels=c,
-                                  tile_bytes=lead + tile_bytes)
-    if plain:
-        fn_local, halo_words, g = _fused_tile_parts(chain, sub_cfg,
-                                                    block, interpret)
-    else:
-        fn_local, halo_words, g = _fused_rational_tile_parts(
-            chain, sub_cfg, block, lead, interpret)
-    halo = halo_words * g + lead
+    fn_local, halo, g = _fused_body(chain, cfg, c, tile_bytes, block,
+                                    plain, interpret)
     tiles = split_overlap_save(planes, n_dev, tile_bytes, halo)
     x_w = fused.prep_input(tiles.reshape(n_dev * c, -1), g)
     x_w = x_w.reshape(n_dev, c, -1)
@@ -495,17 +519,9 @@ def convert_stream_tiled_chunked(read, chain, cfg: StepConfig, mesh: Mesh,
             block = fused.pick_block_bytes(chain, in_hz)
             unit_f = math.lcm(unit, block)
             tile_bytes = max(unit_f, -(-cfg.tile_bytes // unit_f) * unit_f)
-            lead = 0 if plain else unit_f  # warms the rational tail
-            sub_cfg = dataclasses.replace(cfg,
-                                          tile_bytes=lead + tile_bytes)
-            if plain:
-                fn_local, halo_words, fused_g = _fused_tile_parts(
-                    chain, sub_cfg, block, interp)
-            else:
-                fn_local, halo_words, fused_g = _fused_rational_tile_parts(
-                    chain, sub_cfg, block, lead, interp)
+            fn_local, halo, fused_g = _fused_body(
+                chain, cfg, c, tile_bytes, block, plain, interp)
             unit = unit_f
-            halo = halo_words * fused_g + lead
         except ValueError:
             if forced:
                 raise

@@ -588,6 +588,123 @@ def test_fused_body_dithered_interpret_degrades(monkeypatch):
 @pytest.mark.parametrize("bit_depth,dither", [
     (32, DitherType.NONE),
     (24, DitherType.TPDF),   # rational frames dither is threefry: works
+                             # in interpret mode
+])
+def test_fused_rational_body_matches_streaming(bit_depth, dither):
+    """The 48k-family sharded body (warm-hist tile: one head grid block
+    of real previous input seeds the tail history and yields the
+    head's streaming halo): every tile computes EXACTLY what the
+    streaming rational path computes, so output is BIT-EXACT vs the
+    streaming oracle run with the same per-tile seeds — dithered
+    configs included — past the very first stream-head warmup region
+    (the oracle starts hist at ZERO; the sharded tile 0 warms its hist
+    from the idle lead window, so only outputs whose receptive field
+    predates the stream differ)."""
+    import dataclasses
+    import math
+
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes, _fused_seeds
+
+    n_dev = 4
+    mesh = _mesh_1d(n_dev)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    planes = synth_tone_dsd(1000.0, 0.05, 2_822_400, amplitude=0.5,
+                            channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=bit_depth,
+                     dither=dither, level_db=-1.0)
+    got, _peak = convert_stream_tiled(planes, chain, cfg, mesh,
+                                      body="fused")
+    # streaming oracle: same tile geometry, carried (halo, hist) state,
+    # same seed derivation, no warm block
+    c, total = planes.shape
+    block = fused.pick_block_bytes(chain)
+    unit = math.lcm(_chain_unit_bytes(chain), block)
+    tile_bytes = -(-total // (n_dev * unit)) * unit
+    scfg = dataclasses.replace(cfg, tile_bytes=tile_bytes)
+    step, _ = fused.make_fused_rational_step(chain, scfg,
+                                             block_bytes=block,
+                                             interpret=True, jit=False)
+    halo0, hist0 = fused.init_fused_rational_state(chain, 2)
+    state = (jnp.asarray(halo0), hist0)
+    g = fused.fused_plan(chain[:fused.fused_rational_plan(chain)])[1]
+    need = n_dev * tile_bytes
+    padded = np.concatenate(
+        [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
+    seeds = np.asarray(_fused_seeds(jax.random.PRNGKey(0x5D5D), 0, n_dev))
+    outs = []
+    for t in range(n_dev):
+        xw = fused.prep_input(np.ascontiguousarray(
+            padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
+        o, _pk, state = step(xw, state, int(seeds[t]))
+        outs.append(np.asarray(o))
+    ref = np.concatenate(outs)
+    n = min(len(got), len(ref))
+    skip = 1000  # zero-hist vs idle-warmed-hist stream head (above)
+    np.testing.assert_array_equal(got[skip:n], ref[skip:n])
+
+
+def test_sharded_body_dispatch_decision(monkeypatch):
+    """_resolve_body: auto is phase off-TPU; the env knob mirrors the
+    argument with graceful degradation; a typo'd env raises ConfigError
+    loudly; the explicit body="fused" argument raises for ineligible
+    chains (rational tail) instead of silently running phase."""
+    from dsd2dxd_tpu.parallel.sharded import _resolve_body
+    from dsd2dxd_tpu.utils.errors import ConfigError
+
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    chain_r = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 96000)
+    assert _resolve_body(chain, None)[0] == "phase"  # CPU backend
+    assert _resolve_body(chain, "phase") == ("phase", False, False)
+    with pytest.raises(ValueError, match="body="):
+        _resolve_body(chain, "fusedd")  # explicit typo: loud too
+    mode, interp, forced = _resolve_body(chain, "fused")
+    assert mode == "fused" and interp and forced
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    mode, _interp, forced = _resolve_body(chain, None)
+    assert mode == "fused" and not forced  # env-selected: degradable
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fusd")
+    with pytest.raises(ConfigError, match="DSD2DXD_SHARDED_BODY"):
+        _resolve_body(chain, None)
+    monkeypatch.delenv("DSD2DXD_SHARDED_BODY")
+    # explicit fused on an ineligible CFG (NJAD has no kernel path —
+    # the engine requantizes on host): loud. Rational CHAINS are
+    # eligible since the lead-warmup body landed
+    # (test_fused_rational_body_matches_streaming).
+    mesh = _mesh_1d(4)
+    planes = synth_tone_dsd(1000.0, 0.02, 2_822_400, channels=2)
+    cfg_njad = StepConfig(channels=2, tile_bytes=0, bit_depth=24,
+                          dither=DitherType.NJAD, level_db=0.0)
+    with pytest.raises(ValueError):
+        convert_stream_tiled(planes, chain_r, cfg_njad, mesh,
+                             body="fused")
+    # env-selected fused with the same cfg degrades to the phase body
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    got, _ = convert_stream_tiled(planes, chain_r, cfg_njad, mesh)
+    assert got.shape[1] == 2
+
+
+def test_fused_body_dithered_interpret_degrades(monkeypatch):
+    """Env-selected fused body + dithered cfg on a CPU mesh must fall
+    back to the phase body at BUILD time (ValueError from
+    _fused_tile_parts), not crash at the first dispatch — the on-core
+    PRNG has no CPU interpret lowering. The explicit body="fused"
+    argument stays loud."""
+    mesh = _mesh_1d(4)
+    chain = get_chain(FilterType.EQUIRIPPLE, DsdRate.DSD64, 352800)
+    planes = synth_tone_dsd(1000.0, 0.02, 2_822_400, channels=2)
+    cfg = StepConfig(channels=2, tile_bytes=0, bit_depth=24,
+                     dither=DitherType.TPDF, level_db=0.0)
+    with pytest.raises(ValueError, match="PRNG"):
+        convert_stream_tiled(planes, chain, cfg, mesh, body="fused")
+    monkeypatch.setenv("DSD2DXD_SHARDED_BODY", "fused")
+    got, _peak = convert_stream_tiled(planes, chain, cfg, mesh)
+    assert got.shape[1] == 2  # phase-body fallback converted it
+
+
+@pytest.mark.parametrize("bit_depth,dither", [
+    (32, DitherType.NONE),
+    (24, DitherType.TPDF),   # rational frames dither is threefry: works
                              # in interpret mode, and the kept region's
                              # noise geometry matches streaming exactly
 ])

@@ -110,12 +110,13 @@ def main() -> int:
         return np.concatenate(outs)
 
     def streaming_rational_oracle(planes, chain, cfg, key, in_hz):
-        """Streaming rational fused steps (carried halo+hist, no lead)
-        with the sharded body's seed derivation. The sharded lead
-        widens the tail einsum's K extent, so XLA may pick a different
-        f32 reduction order: the comparison class is ±1 ulp / ±1 LSB,
-        not bit-equality (parallel/sharded._fused_rational_tile_parts
-        docstring; CPU-pinned in tests/test_sharded.py)."""
+        """Streaming rational fused steps (carried halo+hist) with the
+        sharded body's seed derivation. The sharded warm-hist tile
+        computes exactly the streaming values, so the comparison is
+        BIT-EXACT past the stream head (the oracle starts hist at
+        ZERO; sharded tile 0 warms its hist from the idle lead window
+        — parallel/sharded._fused_rational_tile_parts docstring,
+        CPU-pinned in tests/test_sharded.py)."""
         c, total = planes.shape
         block = fused.pick_block_bytes(chain, in_hz)
         unit = math.lcm(_chain_unit_bytes(chain), block)
@@ -163,20 +164,14 @@ def main() -> int:
                       else streaming_fused_oracle)
             ref = oracle(planes, chain, cfg, key, rate.hz)
             n = min(len(got), len(ref))
-            if rational:
-                d = np.abs(got[:n].astype(np.float64)
-                           - ref[:n].astype(np.float64))
-                tol = 4e-6 if depth == 32 else 1.0
-                if d.max() > tol:
-                    print(f"  FAIL {depth}-bit NONE: sharded vs "
-                          f"streaming rational max |d| {d.max()} > "
-                          f"{tol}")
-                    ok = False
-            elif not np.array_equal(got[:n], ref[:n]):
-                d = np.abs(got[:n].astype(np.float64)
-                           - ref[:n].astype(np.float64)).max()
+            # rational: skip the stream head (zero-hist oracle vs the
+            # sharded tile-0 idle-warmed hist — see the oracle doc)
+            s = 1000 if rational else 0
+            if not np.array_equal(got[s:n], ref[s:n]):
+                d = np.abs(got[s:n].astype(np.float64)
+                           - ref[s:n].astype(np.float64)).max()
                 print(f"  FAIL {depth}-bit NONE: sharded != streaming "
-                      f"fused (max |d| {d})")
+                      f"(max |d| {d})")
                 ok = False
             outs[depth] = (got, peak)
         # TPDF on-core PRNG inside shard_map: error stats + key variation
@@ -206,7 +201,7 @@ def main() -> int:
             print("  FAIL two keys produced identical dither")
             ok = False
         status = "OK" if ok else "FAIL"
-        klass = ("±1-LSB class NONE 32/24" if rational
+        klass = ("bit-exact-past-head NONE 32/24" if rational
                  else "bit-exact NONE 32/24")
         print(f"{rate_name}->{out_hz}: sharded fused body {status} "
               f"({klass}, TPDF rms {rms:.3f} mean "
