@@ -244,8 +244,13 @@ def _fused_rational_tile_parts(chain, cfg: StepConfig, block_bytes: int,
     (the kernel's per-output FMA order is position-independent — the
     same determinism the fused-vs-phase equivalence tests rest on).
     The main step then runs the tile exactly as the streaming engine
-    would: sharded output is BIT-EXACT vs the streaming rational path,
-    dithered configs included (same finish_tile geometry and seed).
+    would: float output is BIT-EXACT vs the streaming rational path
+    past the stream head; dithered-quantized output shares the exact
+    noise and geometry but the jitted program may fuse the tail
+    einsum differently than an eager reference (±1 ulp → ±1 LSB at a
+    few % of samples on CPU; on the TPU both lowerings hit the MXU
+    identically and the chip gate measures exact —
+    CHIP_SHARDCHECK_r05.log).
     An earlier lead-warmup variant instead prepended a full tile-unit
     of input and dropped its outputs — correct, but the unit is
     lcm(chain unit, grid block) ≈ 4.8-9.6 MiB for every 48k cell, so

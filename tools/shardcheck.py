@@ -38,9 +38,90 @@ import numpy as np
 CELLS = [
     ("DSD64", 352800), ("DSD64", 88200),
     ("DSD128", 352800), ("DSD256", 352800),
-    # rational: lead-warmup tile body (±1-LSB class vs streaming)
+    # rational: warm-hist tile body (bit-exact past the stream head)
     ("DSD64", 96000), ("DSD128", 192000),
 ]
+
+
+def streaming_fused_oracle(planes, chain, cfg, key, in_hz, n_dev):
+    """Tile-by-tile streaming fused steps with carried halo state —
+    the bit-exactness oracle for the sharded body. Shared with
+    tests/test_sharded.py (one copy, so the chip gate and the CI test
+    cannot drift); interpret mode is picked from the backend so the
+    same oracle runs on the chip and the virtual CPU mesh."""
+    import dataclasses
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes, _fused_seeds
+
+    c, total = planes.shape
+    block = fused.pick_block_bytes(chain, in_hz)
+    unit = math.lcm(_chain_unit_bytes(chain), block)
+    tile_bytes = -(-total // (n_dev * unit)) * unit
+    scfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
+    step, _ = fused.make_fused_step(
+        chain, scfg, block_bytes=block,
+        interpret=jax.default_backend() != "tpu", jit=False)
+    g = fused.fused_plan(chain)[1]
+    need = n_dev * tile_bytes
+    padded = np.concatenate(
+        [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
+    seeds = np.asarray(_fused_seeds(key, 0, n_dev))
+    state = jnp.asarray(fused.init_fused_halo(chain, c))
+    outs = []
+    for t in range(n_dev):
+        xw = fused.prep_input(np.ascontiguousarray(
+            padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
+        o, _pk, state = step(xw, state, int(seeds[t]))
+        outs.append(np.asarray(o))
+    return np.concatenate(outs)
+
+
+def streaming_rational_oracle(planes, chain, cfg, key, in_hz, n_dev):
+    """Streaming rational fused steps (carried halo+hist) with the
+    sharded body's seed derivation. The sharded warm-hist tile
+    computes exactly the streaming values, so the comparison is
+    BIT-EXACT past the stream head (the oracle starts hist at ZERO;
+    sharded tile 0 warms its hist from the idle lead window —
+    parallel/sharded._fused_rational_tile_parts docstring). Shared
+    with tests/test_sharded.py."""
+    import dataclasses
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dsd2dxd_tpu.ops import fused
+    from dsd2dxd_tpu.parallel.sharded import _chain_unit_bytes, _fused_seeds
+
+    c, total = planes.shape
+    block = fused.pick_block_bytes(chain, in_hz)
+    unit = math.lcm(_chain_unit_bytes(chain), block)
+    tile_bytes = -(-total // (n_dev * unit)) * unit
+    scfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
+    step, _ = fused.make_fused_rational_step(
+        chain, scfg, block_bytes=block,
+        interpret=jax.default_backend() != "tpu", jit=False)
+    halo0, hist0 = fused.init_fused_rational_state(chain, c)
+    state = (jnp.asarray(halo0), hist0)
+    g = fused.fused_plan(chain[:fused.fused_rational_plan(chain)])[1]
+    need = n_dev * tile_bytes
+    padded = np.concatenate(
+        [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
+    seeds = np.asarray(_fused_seeds(key, 0, n_dev))
+    outs = []
+    for t in range(n_dev):
+        xw = fused.prep_input(np.ascontiguousarray(
+            padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
+        o, _pk, state = step(xw, state, int(seeds[t]))
+        outs.append(np.asarray(o))
+    return np.concatenate(outs)
 
 
 def main() -> int:
@@ -86,60 +167,6 @@ def main() -> int:
         cells = [(n, int(o)) for n, o in
                  (c.split(":") for c in args.cells.split(","))]
 
-    def streaming_fused_oracle(planes, chain, cfg, key, in_hz):
-        """Tile-by-tile streaming fused steps with carried halo state —
-        the bit-exactness oracle for the sharded body."""
-        c, total = planes.shape
-        block = fused.pick_block_bytes(chain, in_hz)
-        unit = math.lcm(_chain_unit_bytes(chain), block)
-        tile_bytes = -(-total // (n_dev * unit)) * unit
-        scfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
-        step, _ = fused.make_fused_step(chain, scfg, block_bytes=block)
-        g = fused.fused_plan(chain)[1]
-        need = n_dev * tile_bytes
-        padded = np.concatenate(
-            [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
-        seeds = np.asarray(_fused_seeds(key, 0, n_dev))
-        state = jnp.asarray(fused.init_fused_halo(chain, c))
-        outs = []
-        for t in range(n_dev):
-            xw = fused.prep_input(np.ascontiguousarray(
-                padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
-            o, _pk, state = step(xw, state, int(seeds[t]))
-            outs.append(np.asarray(o))
-        return np.concatenate(outs)
-
-    def streaming_rational_oracle(planes, chain, cfg, key, in_hz):
-        """Streaming rational fused steps (carried halo+hist) with the
-        sharded body's seed derivation. The sharded warm-hist tile
-        computes exactly the streaming values, so the comparison is
-        BIT-EXACT past the stream head (the oracle starts hist at
-        ZERO; sharded tile 0 warms its hist from the idle lead window
-        — parallel/sharded._fused_rational_tile_parts docstring,
-        CPU-pinned in tests/test_sharded.py)."""
-        c, total = planes.shape
-        block = fused.pick_block_bytes(chain, in_hz)
-        unit = math.lcm(_chain_unit_bytes(chain), block)
-        tile_bytes = -(-total // (n_dev * unit)) * unit
-        scfg = dataclasses.replace(cfg, channels=c, tile_bytes=tile_bytes)
-        step, _ = fused.make_fused_rational_step(chain, scfg,
-                                                 block_bytes=block,
-                                                 jit=False)
-        halo0, hist0 = fused.init_fused_rational_state(chain, c)
-        state = (jnp.asarray(halo0), hist0)
-        g = fused.fused_plan(chain[:fused.fused_rational_plan(chain)])[1]
-        need = n_dev * tile_bytes
-        padded = np.concatenate(
-            [planes, np.full((c, need - total), 0x69, np.uint8)], axis=1)
-        seeds = np.asarray(_fused_seeds(key, 0, n_dev))
-        outs = []
-        for t in range(n_dev):
-            xw = fused.prep_input(np.ascontiguousarray(
-                padded[:, t * tile_bytes:(t + 1) * tile_bytes]), g)
-            o, _pk, state = step(xw, state, int(seeds[t]))
-            outs.append(np.asarray(o))
-        return np.concatenate(outs)
-
     for rate_name, out_hz in cells:
         rate = DsdRate[rate_name]
         chain = get_chain(FilterType.EQUIRIPPLE, rate, out_hz)
@@ -162,7 +189,8 @@ def main() -> int:
                                              body="fused", in_hz=rate.hz)
             oracle = (streaming_rational_oracle if rational
                       else streaming_fused_oracle)
-            ref = oracle(planes, chain, cfg, key, rate.hz)
+            ref = oracle(planes, chain, cfg, key, rate.hz,
+                         n_dev)
             n = min(len(got), len(ref))
             # rational: skip the stream head (zero-hist oracle vs the
             # sharded tile-0 idle-warmed hist — see the oracle doc)
