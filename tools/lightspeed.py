@@ -109,14 +109,16 @@ EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 #       (max resid 0.16 us)
 #   G=4 splits in TWO calibration classes (the round-4 single-class
 #   G=4 cal left every pure-/32 cell 1.5-2x ABOVE model):
-#   - pure /32 head (r_tail=1, 5-stage): floor 0.79, slope 1.11 —
-#       round-5 ladder TPDF arm (/tmp/chip_floorg4s5b_r5.log; the
-#       NONE arm of both r5 attempts was tunnel-weather-hit and
-#       non-monotonic, the TPDF arm is clean and monotonic)
-#   - a-trous (r_tail>1, 6-stage /64): floor 2.07, slope 1.38 — the
-#       round-4 ladder on the real DSD512 structure
-#       (/tmp/chip_floorprof_slope_r4.log); the r5 re-run's TPDF arm
-#       reproduces the 2.07 intercept.
+#   - pure /32 head (r_tail=1, 5-stage): floor 0.94, slope 1.00 —
+#       pooled over three r5 ladders (TPDF arms of
+#       /tmp/chip_floorg4s5{b,c}_r5.log + the credible NONE points of
+#       the third run; the scale-0 NONE rung of EVERY floorprof
+#       process measures systematically high — a first-measurement
+#       warmup bias, dropped from fits; max resid 0.35 us)
+#   - a-trous (r_tail>1, 6-stage /64): floor 2.32, slope 1.31 — the
+#       clean fully-monotonic r5 retry, both arms pooled
+#       (/tmp/chip_floorg4s6b_r5.log, max resid 0.10 us; consistent
+#       with the round-4 2.07/1.38 fit within cross-run spread).
 #   The gap between the two classes is the a-trous tail's cost beyond
 #   its element count: dilated slice windows + the phase-0 extraction.
 # Within-class structure the intercept+slope cannot see (sublane-batch
@@ -125,8 +127,8 @@ EPILOGUE_OPS = 10       # level+dither+round+clip+planes, per output sample
 KERNEL_CAL = {
     (1, False): (2.17, 2.01),
     (2, False): (1.13, 1.47),
-    (4, False): (0.79, 1.11),
-    (4, True): (2.07, 1.38),
+    (4, False): (0.94, 1.00),
+    (4, True): (2.32, 1.31),
 }
 # Rational cells: everything beyond the planes-emission head — the
 # head's f32-emit penalty (a separate (C, n_base) f32 HBM round-trip,
