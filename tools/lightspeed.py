@@ -143,11 +143,11 @@ KERNEL_CAL = {
 #       (/tmp/chip_ratprof_g4_r5.log 2026-08-20) = 1.33e-10
 #   G=2 head: DSD64->192k, 9.55 - 6.09 ms per 54.6 s tile
 #       (/tmp/chip_ratprof_g2b_r5.log retry; the first attempt was
-#       weather-hit) = 1.65e-10. CAVEAT on this cell: its ladder prod
-#       rung (5716x) and the same-day chipcheck matrix (7445x)
-#       disagree by 30% — cross-run variance through the tunnel bounds
-#       what single-cell residuals can mean, so DSD64->192k's ~126%
-#       model residual is within measurement uncertainty, not proven
+#       weather-hit) = 1.65e-10. The cell's matrix entry (7445x) was
+#       arbitrated by a third measurement (5814x; ladder prod rung
+#       5716x): two of three agree at ~5.7-5.8k, so the matrix entry
+#       is a fast-weather outlier and the cell sits at ~101% of this
+#       model — the apparent 130% residual was measurement, not
 #       headroom.
 RATIONAL_EXTRA_S_PER_OUT = {1: 1.72e-10, 2: 1.65e-10, 4: 1.33e-10}
 
